@@ -1,0 +1,133 @@
+package graft.extract
+
+import graft.model._
+import graft.textkit.MarkdownPost
+
+/** Deterministic item-tree -> Markdown renderer, following the golden
+  * conventions of the reference output (examples/long_report.md): `#`/`##`
+  * headings, `- ` list items, `<!-- image -->` placeholders, pipe tables
+  * padded to column width with a `|---|` separator row, and
+  * `\n\n<!-- page break -->\n\n` between pages (save_as_markdown contract,
+  * conversion_utils.py:264-274).
+  */
+object MarkdownRender {
+  val PageBreakMarker = s"\n\n${MarkdownPost.PageBreakPlaceholder}\n\n"
+
+  /** docling escape_underscores=True behavior. */
+  def escapeUnderscores(text: String): String =
+    if (text.indexOf('_') < 0) text else text.replace("_", "\\_")
+
+  /** Render a table as a padded pipe table (docling grid semantics: spanned
+    * cells repeat their text across covered positions). */
+  def renderTable(t: TableData): String = {
+    if (t.numRows <= 0 || t.numCols <= 0) return ""
+    val grid = Array.fill(t.numRows, t.numCols)("")
+    for (cell <- t.cells; r <- cell.startRow until math.min(cell.endRow, t.numRows);
+         c <- cell.startCol until math.min(cell.endCol, t.numCols))
+      grid(r)(c) = Option(cell.text).getOrElse("")
+    val widths = Array.tabulate(t.numCols) { c =>
+      (0 until t.numRows).map(r => grid(r)(c).length).max
+    }
+    val sb = new StringBuilder
+    def renderRow(r: Int): Unit = {
+      sb += '|'
+      var c = 0
+      while (c < t.numCols) {
+        sb += ' '
+        sb ++= grid(r)(c).padTo(widths(c), ' ')
+        sb ++= " |"
+        c += 1
+      }
+    }
+    renderRow(0)
+    sb += '\n'
+    sb += '|'
+    for (c <- 0 until t.numCols) { sb ++= "-" * (widths(c) + 2); sb += '|' }
+    var r = 1
+    while (r < t.numRows) {
+      sb += '\n'
+      renderRow(r)
+      r += 1
+    }
+    sb.result()
+  }
+
+  /** Render one item to its markdown block (None = item not exported). */
+  def renderItem(item: DocItem, exportLabels: Set[String]): Option[String] = {
+    if (item.contentLayer != ContentLayer.Body) return None
+    if (!exportLabels.contains(item.label)) return None
+    item.kind match {
+      case ItemKind.Picture => Some("<!-- image -->")
+      case ItemKind.Table => item.table.map(renderTable).filter(_.nonEmpty)
+      case _ =>
+        val text = Option(item.text).getOrElse("")
+        if (text.isEmpty) None
+        else item.label match {
+          case Label.Title => Some("# " + escapeUnderscores(text))
+          case Label.SectionHeader => Some("## " + escapeUnderscores(text))
+          case Label.ListItem => Some("- " + escapeUnderscores(text))
+          case _ => Some(escapeUnderscores(text))
+        }
+    }
+  }
+
+  /** Full document render with page-break markers between page transitions. */
+  def render(doc: Doc, exportLabels: Set[String] = Label.ExportLabels): String = {
+    val sb = new StringBuilder
+    var lastPage = -1
+    var first = true
+    for (item <- doc.items) {
+      renderItem(item, exportLabels).foreach { block =>
+        if (!first) {
+          if (item.pageNo != lastPage && lastPage != -1) sb ++= PageBreakMarker
+          else sb ++= "\n\n"
+        }
+        sb ++= block
+        first = false
+        lastPage = item.pageNo
+      }
+      // page transitions are tracked on exported items only, mirroring how
+      // save_as_markdown only emits breaks between exported content
+    }
+    sb.result()
+  }
+
+  /** Plain-text export used as the audit's PDF-side text
+    * (doc.export_to_text analog): exported text content plus table cell
+    * text, one block per line group. */
+  def renderPlainText(doc: Doc, exportLabels: Set[String] = Label.ExportLabels): String = {
+    val out = new StringBuilder
+    for (item <- doc.items) {
+      if (item.contentLayer == ContentLayer.Body && exportLabels.contains(item.label)) {
+        item.kind match {
+          case ItemKind.Picture => ()
+          case ItemKind.Table =>
+            item.table.foreach { t =>
+              // one cell per line: a space join would let the space-grouped
+              // number pattern (audit_utils.py:14-16) merge adjacent cells
+              for (row <- 0 until t.numRows;
+                   cell <- t.cells.filter(_.startRow == row).sortBy(_.startCol)) {
+                val text = Option(cell.text).getOrElse("")
+                if (text.nonEmpty) { if (out.nonEmpty) out += '\n'; out ++= text }
+              }
+            }
+          case _ =>
+            val text = Option(item.text).getOrElse("")
+            if (text.nonEmpty) { if (out.nonEmpty) out += '\n'; out ++= text }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** The reference's markdown post-chain in exact order
+    * (conversion_utils.py:276-284). */
+  def postProcess(markdown: String, removeImagePlaceholders: Boolean = true): String = {
+    var md = MarkdownPost.addVisiblePageMarkers(markdown)
+    md = MarkdownPost.reduceMarkdownNoise(md, removeImagePlaceholders = removeImagePlaceholders)
+    md = MarkdownPost.normalizeKpiBlocks(md)
+    md = MarkdownPost.removeOrphanHeadings(md)
+    md = MarkdownPost.removeAxisLikeLines(md)
+    md
+  }
+}

@@ -1,0 +1,205 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.sources.SyntheticPages
+
+class DocTransformsSpec extends AnyFunSuite {
+  private def cell(r0: Int, r1: Int, c0: Int, c1: Int, text: String,
+                   header: Boolean = false): TableCell =
+    TableCell(r0, r1, c0, c1, r1 - r0, c1 - c0, text, header, false, false, false, None)
+
+  /** FIXTURES.md §4 / reference tests/unit/test_table_fixes.py:19-199 —
+    * the hand-built 2x10 table with currency+value header groups. */
+  private def sampleTable: TableData = {
+    val cells = Array(
+      cell(0, 1, 0, 1, "Indicatori", header = true),
+      cell(0, 1, 1, 3, "30/09/2025", header = true),
+      cell(0, 1, 3, 5, "30/09/2024", header = true),
+      cell(0, 1, 5, 7, "30/09/2025", header = true),
+      cell(0, 1, 7, 9, "30/09/2024", header = true),
+      cell(0, 1, 9, 10, "Delta%", header = true),
+      cell(1, 2, 0, 1, "CIFRA"),
+      cell(1, 2, 1, 2, "RON"), cell(1, 2, 2, 3, "158.065.856"),
+      cell(1, 2, 3, 4, "RON"), cell(1, 2, 4, 5, "126.792.531"),
+      cell(1, 2, 5, 6, "EUR"), cell(1, 2, 6, 7, "36.549.554"),
+      cell(1, 2, 7, 8, "EUR"), cell(1, 2, 8, 9, "29.318.226"),
+      cell(1, 2, 9, 10, "24,66%"))
+    TableData(2, 10, cells)
+  }
+
+  test("collapse_table_header_groups: 10 cols -> 6, currency+value merged") {
+    val out = DocTransforms.collapseTableHeaderGroups(sampleTable)
+    assert(out.nonEmpty)
+    val t = out.get
+    assert(t.numCols == 6)
+    val c10 = t.cells.find(c => c.startRow == 1 && c.startCol == 0).get
+    assert(c10.text == "CIFRA")
+    val c11 = t.cells.find(c => c.startRow == 1 && c.startCol == 1).get
+    assert(c11.text == "RON 158.065.856")
+  }
+
+  test("collapse: all-width-1 headers is a no-op") {
+    val cells = Array(
+      cell(0, 1, 0, 1, "A", header = true), cell(0, 1, 1, 2, "B", header = true),
+      cell(1, 2, 0, 1, "x"), cell(1, 2, 1, 2, "y"))
+    assert(DocTransforms.collapseTableHeaderGroups(TableData(2, 2, cells)).isEmpty)
+  }
+
+  test("currency majority: dominant RON rewrites flipped EUR cell") {
+    val cells = Array(
+      cell(0, 1, 0, 1, "Indicatori", header = true), cell(0, 1, 1, 2, "30/09/2025", header = true),
+      cell(1, 2, 0, 1, "A"), cell(1, 2, 1, 2, "RON 1.000.000"),
+      cell(2, 3, 0, 1, "B"), cell(2, 3, 1, 2, "RON 2.000.000"),
+      cell(3, 4, 0, 1, "C"), cell(3, 4, 1, 2, "RON 3.000.000"),
+      cell(4, 5, 0, 1, "D"), cell(4, 5, 1, 2, "EUR 158.065.856"))
+    val (t, n) = DocTransforms.normalizeTableCurrencyColumns(TableData(5, 2, cells))
+    assert(n == 1)
+    assert(t.cells.find(_.startRow == 4).map(_.text).contains("D"))
+    assert(t.cells.find(c => c.startRow == 4 && c.startCol == 1).get.text == "RON 158.065.856")
+  }
+
+  test("currency majority: below-0.7 dominance leaves cells alone") {
+    val cells = Array(
+      cell(1, 2, 1, 2, "RON 1.000.000"), cell(2, 3, 1, 2, "EUR 2.000.000"))
+    val (_, n) = DocTransforms.normalizeTableCurrencyColumns(TableData(3, 2, cells))
+    assert(n == 0)
+  }
+
+  test("spatial delete: date-only inside picture removed, outside kept") {
+    val items = Array(
+      DocItem(0, ItemKind.Picture, Label.Picture, ContentLayer.Body, 1,
+        Some(Bbox(0, 0, 100, 100, Bbox.TopLeft)), "", None),
+      DocItem(1, ItemKind.Text, Label.Text, ContentLayer.Body, 1,
+        Some(Bbox(10, 10, 20, 20, Bbox.TopLeft)), "31.12.2024", None),
+      DocItem(2, ItemKind.Text, Label.Text, ContentLayer.Body, 1,
+        Some(Bbox(200, 200, 210, 210, Bbox.TopLeft)), "30.09.2025", None))
+    val (doc, n) = DocTransforms.removeDateOnlyTextInsidePictures(
+      Doc("u", items, Array(PageDim(1, 0, 800))))
+    assert(n == 1)
+    assert(doc.items.map(_.text).toSet == Set("", "30.09.2025"))
+  }
+
+  test("suspect cell count uses the cleaned text") {
+    val items = Array(
+      DocItem(0, ItemKind.Table, Label.Table, ContentLayer.Body, 1, None, "",
+        Some(TableData(1, 1, Array(cell(0, 1, 0, 1, "EUR .961.31"))))))
+    assert(DocTransforms.countSuspectTableCells(Doc("u", items, Array.empty)) == 1)
+  }
+
+  test("OCR merge: shape-matched keyed replacement of suspect cell") {
+    def doc(text: String) = Doc("u", Array(
+      DocItem(0, ItemKind.Table, Label.Table, ContentLayer.Body, 1, None, "",
+        Some(TableData(1, 1, Array(cell(0, 1, 0, 1, text)))))), Array(PageDim(1, 0, 800)))
+    val (merged, n) = DocTransforms.mergeTableCellsWithOcr(doc("EUR .961.31"), doc("EUR 6.961.310"),
+      spacedMode = false)
+    assert(n == 1)
+    assert(merged.items(0).table.get.cells(0).text == "EUR 6.961.310")
+  }
+}
+
+class HtmlExtractSpec extends AnyFunSuite {
+  test("basic structure: headings, paragraphs, lists, tables, pictures") {
+    val html =
+      """<html><head><title>skip</title><script>x<p></script></head><body>
+        |<nav><a href="/">Home</a> <a href="/x">X</a></nav>
+        |<div class="page" data-page-height="800">
+        |<h1>Titlul raportului</h1><h2>Sectiunea unu</h2>
+        |<p>Un paragraf <b>simplu</b> de text.</p>
+        |<ul><li>primul element</li><li>al doilea element</li></ul>
+        |<table><tr><th>A</th><th colspan="2">B</th></tr>
+        |<tr><td>1</td><td>2</td><td>3</td></tr></table>
+        |<img src="x.png" data-bbox="1,2,3,4"/>
+        |</div></body></html>""".stripMargin
+    val doc = HtmlExtract.parse("u", html)
+    val body = doc.items.filter(_.contentLayer == ContentLayer.Body)
+    assert(body.map(_.label).toList ==
+      List(Label.Title, Label.SectionHeader, Label.Text, Label.ListItem,
+        Label.ListItem, Label.Table, Label.Picture))
+    assert(body(2).text == "Un paragraf simplu de text.")
+    val t = body(5).table.get
+    assert(t.numRows == 2 && t.numCols == 3)
+    assert(t.cells.find(c => c.startRow == 0 && c.startCol == 1).get.endCol == 3)
+    assert(body(6).bbox.contains(Bbox(1, 2, 3, 4, Bbox.TopLeft)))
+    // nav link farm is furniture
+    assert(doc.items.exists(_.contentLayer == ContentLayer.Furniture))
+  }
+
+  test("entities and nbsp-preserved multi-space") {
+    val doc = HtmlExtract.parse("u", "<p>a &amp; b&nbsp;&nbsp;c &#x21b; &#539;</p>")
+    assert(doc.items.head.text == "a & b  c ț ț")
+  }
+
+  test("rowspan occupancy shifts following cells") {
+    val html = "<table><tr><td rowspan=\"2\">a</td><td>b</td></tr><tr><td>c</td></tr></table>"
+    val t = HtmlExtract.parse("u", html).items.head.table.get
+    val c = t.cells.find(_.text == "c").get
+    assert(c.startRow == 1 && c.startCol == 1)
+    assert(t.numRows == 2 && t.numCols == 2)
+  }
+
+  test("link-density boilerplate: short link farm dropped from body") {
+    val doc = HtmlExtract.parse("u",
+      "<p><a href=\"/a\">citeste</a> <a href=\"/b\">mai</a> <a href=\"/c\">mult</a></p>" +
+      "<p>Acesta este continutul principal al documentului de analiza.</p>")
+    val body = doc.items.filter(i => i.contentLayer == ContentLayer.Body)
+    assert(body.length == 1)
+    assert(body.head.text.startsWith("Acesta este"))
+  }
+}
+
+/** End-to-end: synthetic dirty HTML -> parse -> transforms -> render must
+  * equal the expectation computed from the dirty tree directly (two
+  * independent paths to the same bytes). */
+class EndToEndLocalSpec extends AnyFunSuite {
+  val Seed = 42L
+
+  test("html parse recovers the dirty body tree (items, tables, geometry)") {
+    for (i <- 0L until 40L) {
+      val doc = SyntheticPages.dirtyDoc(Seed, i)
+      val html = SyntheticPages.htmlFor(doc, Seed, i)
+      val parsed = HtmlExtract.parse(doc.url, html)
+      val parsedBody = parsed.items.filter(i => i.contentLayer == ContentLayer.Body
+        && Label.ExportLabels.contains(i.label))
+      val expectBody = doc.items
+      assert(parsedBody.length == expectBody.length, s"item count for doc $i")
+      for ((a, b) <- parsedBody.zip(expectBody)) {
+        assert(a.label == b.label, s"label at idx ${b.idx} doc $i")
+        assert(a.text == b.text, s"text at idx ${b.idx} doc $i")
+        assert(a.pageNo == b.pageNo, s"page at idx ${b.idx} doc $i")
+        assert(a.bbox == b.bbox, s"bbox at idx ${b.idx} doc $i")
+        (a.table, b.table) match {
+          case (Some(ta), Some(tb)) =>
+            assert(ta.numRows == tb.numRows && ta.numCols == tb.numCols, s"table shape doc $i")
+            assert(ta.cells.map(c => (c.startRow, c.startCol, c.endRow, c.endCol, c.text)).toList ==
+              tb.cells.map(c => (c.startRow, c.startCol, c.endRow, c.endCol, c.text)).toList,
+              s"table cells doc $i")
+          case (None, None) =>
+          case _ => fail(s"table presence mismatch doc $i")
+        }
+      }
+      assert(parsed.pages.map(p => (p.pageNo, p.height)).toList ==
+        doc.pages.map(p => (p.pageNo, p.height)).toList, s"pages doc $i")
+    }
+  }
+
+  test("full local pipeline output is byte-identical to the expected goldens") {
+    for (i <- 0L until 40L) {
+      val doc = SyntheticPages.dirtyDoc(Seed, i)
+      val html = SyntheticPages.htmlFor(doc, Seed, i)
+      val row = Pipeline.extractOne(doc.url,
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8), "ro", 0)
+      assert(row.markdown == SyntheticPages.expectedMarkdown(doc), s"markdown doc $i")
+      assert(row.text == SyntheticPages.expectedText(doc), s"text doc $i")
+    }
+  }
+
+  test("audit self-consistency: full coverage on own rendering") {
+    val doc = SyntheticPages.expectedDoc(SyntheticPages.dirtyDoc(Seed, 3L))
+    val md = MarkdownRender.render(doc)
+    val metrics = graft.audit.Audit.auditDocVsMarkdown(doc, md)
+    assert(metrics.tokenCoverage == 1.0)
+    assert(metrics.numericRecall == 1.0)
+    assert(metrics.dateRecall == 1.0)
+  }
+}
