@@ -24,7 +24,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // throughput collector: the extraction kernel is allocation-heavy and
+  // scales measurably better under ParallelGC than G1 at 32 threads
+  "-XX:+UseParallelGC",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // preallocate the heap: growing it on demand burns kernel time on page
+  // faults (65-85% sys observed in this VM at 32 threads)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

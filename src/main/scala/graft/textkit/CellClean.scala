@@ -145,13 +145,17 @@ object CellClean {
     tokens.dropRight(1).mkString(" ")
   }
 
+  private val DigitSpDigit = re("(?<=\\d)\\s+(?=\\d)")
+  private val DigitSpPunct = re("(?<=\\d)\\s+(?=[.,])")
+  private val PunctSpDigit = re("(?<=[.,])\\s+(?=\\d)")
+  private val MultiWs = re("\\s{2,}")
   /** table_fixes.py:188-195 */
   def compactNumberSpacing(text: String): String = {
     if (!isNumericish(text)) return text
-    var compacted = sub(re("(?<=\\d)\\s+(?=\\d)"), "", text)
-    compacted = sub(re("(?<=\\d)\\s+(?=[.,])"), "", compacted)
-    compacted = sub(re("(?<=[.,])\\s+(?=\\d)"), "", compacted)
-    compacted = sub(re("\\s{2,}"), " ", compacted)
+    var compacted = sub(DigitSpDigit, "", text)
+    compacted = sub(DigitSpPunct, "", compacted)
+    compacted = sub(PunctSpDigit, "", compacted)
+    compacted = sub(MultiWs, " ", compacted)
     compacted.strip()
   }
 

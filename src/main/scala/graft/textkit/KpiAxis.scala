@@ -81,16 +81,21 @@ object KpiAxis {
     true
   }
 
+  private val WsRun = re("\\s+")
+  private val WsBeforePunct = re("\\s+([,.;:%])")
+  private val ParenOpenWs = re("\\(\\s+")
+  private val WsParenClose = re("\\s+\\)")
+  private val MilRon = reI("(\\b\\d[\\d.,]*\\s*mil\\.?)\\s+ron\\b")
   /** picture_kpi_extract.py:122-134 — join multi-line caption, tighten punctuation. */
   def normalizeKpiCaption(text: String): String = {
     val lines = splitLines(text).map(_.strip()).filter(_.nonEmpty)
     if (lines.isEmpty) return ""
     var joined = lines.mkString(" ")
-    joined = sub(re("\\s+"), " ", joined).strip()
-    joined = sub(re("\\s+([,.;:%])"), "$1", joined)
-    joined = sub(re("\\(\\s+"), "(", joined)
-    joined = sub(re("\\s+\\)"), ")", joined)
-    joined = sub(reI("(\\b\\d[\\d.,]*\\s*mil\\.?)\\s+ron\\b"), "RON $1", joined)
+    joined = sub(WsRun, " ", joined).strip()
+    joined = sub(WsBeforePunct, "$1", joined)
+    joined = sub(ParenOpenWs, "(", joined)
+    joined = sub(WsParenClose, ")", joined)
+    joined = sub(MilRon, "RON $1", joined)
     joined
   }
 

@@ -183,13 +183,17 @@ object SpacingRepair {
     needsTableSpacingFix(text) || needsNumericRepair(text) ||
       needsShortTextRepair(text) || needsSuffixCompletion(text)
 
+  private val DigitSpDigit = re("(?<=\\d)\\s+(?=\\d)")
+  private val DigitSpPunct = re("(?<=\\d)\\s+(?=[.,/%])")
+  private val PunctSpDigit = re("(?<=[.,/%])\\s+(?=\\d)")
+  private val MultiWs = re("\\s{2,}")
   /** pymupdf_spacing_fix.py:314-321 */
   def compactNumericSpacing(text: String): String = {
     if (!numericOnly(text)) return text
-    var t = sub(re("(?<=\\d)\\s+(?=\\d)"), "", text)
-    t = sub(re("(?<=\\d)\\s+(?=[.,/%])"), "", t)
-    t = sub(re("(?<=[.,/%])\\s+(?=\\d)"), "", t)
-    t = sub(re("\\s{2,}"), " ", t)
+    var t = sub(DigitSpDigit, "", text)
+    t = sub(DigitSpPunct, "", t)
+    t = sub(PunctSpDigit, "", t)
+    t = sub(MultiWs, " ", t)
     t.strip()
   }
 

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.extract.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("polyhash expression matches the pure-Scala fold per row") {
+    import spark.implicits._
+    val rows = Ops.q13ExactHash(spark, sf).as[(Long, Long)].collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(rows.length == 500)
+    for ((id, h) <- rows.take(50))
+      assert(h == graft.functions.PolyHash.hashString(texts(id)), s"doc $id")
+  }
+
+  test("minhash LSH candidates are a superset check: any shared band implies candidacy") {
+    import spark.implicits._
+    val sig = Ops.q17MinhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    val pairs = Ops.q18MinhashLshPairs(spark, sf).as[(Long, Long)].collect().toSet
+    for ((a, b) <- pairs) {
+      val sa = sig(a); val sb = sig(b)
+      val shared = (0 until 8 by 2).exists(j => sa(j) == sb(j) && sa(j + 1) == sb(j + 1))
+      assert(shared, s"pair ($a,$b) lacks a shared band")
+    }
+  }
+
+  test("cosine top-k is ranked and bounded") {
+    import spark.implicits._
+    val rows = Ops.q21CosineTopK(spark, sf).as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_._1)
+    for ((_, ns) <- byVec) {
+      assert(ns.length <= 5)
+      val sims = ns.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, "sims sorted desc by rank")
+      assert(ns.forall(n => n._3 >= -1.0001 && n._3 <= 1.0001))
+    }
+  }
+
+  test("lsh cosine top-k agrees with brute force on shared candidates") {
+    import spark.implicits._
+    val brute = Ops.q21CosineTopK(spark, sf, limitIds = 2000).as[(Long, Long, Double, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Ops.q23CosineLshTopK(spark, sf).as[(Long, Long, Double, Int)].collect()
+    assert(lsh.nonEmpty)
+    for ((v, n, sim, _) <- lsh.take(200); bsim <- brute.get((v, n)))
+      assert(math.abs(sim - bsim) < 1e-9, s"sim mismatch ($v,$n)")
+  }
+
+  test("ngram jaccard pairs are symmetric-free and within [0,1]") {
+    import spark.implicits._
+    val rows = Ops.q15NgramJaccardPairs(spark, sf).as[(Long, Long, Double)].collect()
+    for ((a, b, j) <- rows) {
+      assert(a < b)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("langid predicted matches score argmax with lexicographic tiebreak") {
+    val rows = Ops.q12LangId(spark, sf).collect()
+    for (r <- rows.take(100)) {
+      val scores = Ops.LangProfiles.zipWithIndex.map { case ((c, _), i) => c -> r.getInt(3 + i) }
+      val best = scores.filter(_._2 == scores.map(_._2).max).map(_._1).min
+      assert(r.getString(2) == best)
+    }
+  }
+
+  test("extraction over driver documents yields full item coverage") {
+    import spark.implicits._
+    val out = ExtractOps.extractDocuments(spark, sf)
+    assert(out.count() == 500)
+    assert(out.filter($"item_count" <= 0).count() == 0)
+  }
+
+  test("glyph repair round-trips every document phrase") {
+    import spark.implicits._
+    val bad = ExtractOps.glyphRepair(spark, sf).filter(!$"roundtrip_ok").count()
+    assert(bad == 0)
+  }
+
+  test("multimodal feature plumbing: fixed-width histogram, positive dims") {
+    import spark.implicits._
+    val rows = ExtractOps.multimodalFeatures(spark, sf).collect()
+    assert(rows.length == 500)
+    for (r <- rows.take(20)) {
+      val hist = r.getSeq[Long](r.fieldIndex("byte_hist"))
+      assert(hist.length == 8)
+      assert(r.getAs[Int]("width") > 0 && r.getAs[Int]("height") > 0)
+      assert(hist.sum == r.getAs[Int]("n_bytes"))
+    }
+  }
+
+  test("clean cells battery: no suspect cells survive cleaning") {
+    import spark.implicits._
+    val out = ExtractOps.cleanCells(spark, sf).collect()
+    assert(out.length == 11)
+    // the one deliberately-suspect input (EUR .961.31) remains flagged;
+    // every fixture with a known clean form is repaired
+    val byDirty = out.map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(byDirty("84 % 84 %") == "84%")
+    assert(byDirty("168.506.901 RON") == "RON 168.506.901")
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("streaming windowed agg equals the batch result") {
+    val sf = "/root/testdata/sf0.001"
+    // the streaming file source wants a directory; stage the parquet into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = graft.streaming.EventStream.stream(spark, dir.toString, "stream_out")
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT * FROM stream_out ORDER BY hour_start, event_type").collect()
+    val batch = graft.streaming.EventStream.batch(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.extract.SparkTestSession
+
+/** Physical-plan shape assertions: the optimizations the engine is designed
+  * around must actually appear in the executed plan. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 star join broadcasts the dimension tables") {
+    val p = plan(Ops.q02RevenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q01 scan prunes columns: only the aggregated lineitem fields are read") {
+    val p = plan(Ops.q01PricingSummary(spark, sf))
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("l_returnflag") && scanLine.contains("l_quantity"))
+    assert(!scanLine.contains("l_shipdate"), s"unpruned scan: $scanLine")
+  }
+
+  test("q03 window filter pushes rn<=3 into a single window stage") {
+    val p = plan(Ops.q03TopOrdersPerCustomer(spark, sf))
+    assert("Window".r.findAllIn(p).length >= 1)
+    // exactly one exchange for the window partitioning + one for final sort
+    assert("Exchange".r.findAllIn(p).length <= 3, p.take(2000))
+  }
+
+  test("polyhash stays inside whole-stage codegen") {
+    val df = Ops.q13ExactHash(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // `*(n)` prefixes mark whole-stage-codegen stages in the plan string
+    val codegenProject = "\\*\\(\\d+\\) Project \\[doc_id.*polyhash".r
+    assert(codegenProject.findFirstIn(p).nonEmpty, p.take(1500))
+  }
+
+  test("lineitem filter pushdown reaches the parquet reader") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_quantity" > 30.0).select($"l_orderkey")
+    val p = plan(df)
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushdown: $scanLine")
+  }
+}
