@@ -55,6 +55,12 @@ object SparkEntry {
     "q33_glyph_repair" -> (ExtractOps.glyphRepair(_, _)),
     "q34_multimodal_features" -> (ExtractOps.multimodalFeatures(_, _)),
     "q35_clean_cells" -> (ExtractOps.cleanCells(_, _)),
+    "q36_worst_pages" -> ((s, _) => ExtractOps.worstPages(s)),
+    "q37_ocr_merge" -> ((s, _) => ExtractOps.ocrMerge(s)),
+    "q38_spacing_fix_flow" -> (ExtractOps.spacingFixFlow(_, _)),
+    "q39_backend_probe" -> ((s, _) => ExtractOps.backendProbe(s)),
+    "q40_doc_json" -> ((s, _) => ExtractOps.docJson(s)),
+    "q41_events_window_batch" -> ((s, d) => graft.streaming.EventStream.batch(s, d)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */
@@ -271,6 +277,12 @@ object SparkEntry {
          |FROM n x JOIN n y ON x.vec_id < y.vec_id
          |WHERE round($dotSql / (x.nrm * y.nrm), 4) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q41_events_window_batch" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q24_label_centroids" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,

@@ -158,4 +158,111 @@ object ExtractOps {
         suspectU(cleanU($"dirty")).as("still_suspect"))
       .orderBy($"cell_id")
   }
+
+  /** Worst-pages top-k: per-(url,page) audit, rank ascending by coverage,
+    * keep the 5 weakest pages per doc (window over audit rows). */
+  def worstPages(s: SparkSession, n: Int = 64, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val audits = s.createDataset(0L until n.toLong)
+      .flatMap { i =>
+        val dirty = graft.sources.SyntheticPages.dirtyDoc(42L, i)
+        val html = graft.sources.SyntheticPages.htmlFor(dirty, 42L, i)
+        val parsed = HtmlExtract.parse(dirty.url, html)
+        val (doc, _) = DocTransforms.applyAll(parsed)
+        val md = MarkdownRender.postProcess(MarkdownRender.render(doc))
+        graft.audit.Audit.auditPerPage(doc, md)
+      }.toDF()
+    val w = Window.partitionBy($"url").orderBy($"tokenCoverage".asc, $"pageNo".asc)
+    audits.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"url", $"pageNo", round($"tokenCoverage", 6).as("token_coverage"), $"rank")
+      .orderBy($"url", $"rank")
+  }
+
+  /** OCR merge flow over synthesized (base, ocr) doc pairs: suspect numeric
+    * cells and spaced cells replaced per the reference acceptance rules. */
+  def ocrMerge(s: SparkSession, n: Int = 200): DataFrame = {
+    import s.implicits._
+    s.createDataset(0L until n.toLong).map { i =>
+      val cell = graft.model.TableCell(1, 2, 0, 1, 1, 1, "RON 71.371",
+        columnHeader = false, rowHeader = false, rowSection = false, fillable = false,
+        bbox = Some(graft.model.Bbox(0, 0, 50, 10, graft.model.Bbox.TopLeft)))
+      val spacedCell = cell.copy(startCol = 1, endCol = 2, text = "finan c iar " + i,
+        bbox = Some(graft.model.Bbox(60, 0, 110, 10, graft.model.Bbox.TopLeft)))
+      def doc(cells: Array[graft.model.TableCell]) = graft.model.Doc(s"pair://$i", Array(
+        graft.model.DocItem(0, graft.model.ItemKind.Table, graft.model.Label.Table,
+          graft.model.ContentLayer.Body, 1, None, "",
+          Some(graft.model.TableData(2, 2, cells)))),
+        Array(graft.model.PageDim(1, 0, 800)))
+      val base = doc(Array(cell, spacedCell))
+      val ocr = doc(Array(cell.copy(text = "RON 471.371"),
+        spacedCell.copy(text = "financiar " + i)))
+      val (m1, suspectReplaced) = DocTransforms.mergeTableCellsWithOcr(base, ocr, spacedMode = false)
+      val (_, spacedReplaced) = DocTransforms.mergeTableCellsWithOcr(m1, ocr, spacedMode = true)
+      val repaired = DocTransforms.countSuspectTableCells(m1)
+      (i, suspectReplaced, spacedReplaced, repaired)
+    }.toDF("pair_id", "suspect_replaced", "spaced_replaced", "suspect_after")
+      .orderBy($"pair_id")
+  }
+
+  /** Distributed spacing-fix routing: detect damaged pages, reconstruct the
+    * spaced cell from synthesized positioned glyphs, verify recovery. */
+  def spacingFixFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.textkit.SpacingRepair.Glyph
+    s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val phrase = text.split(" ").take(6).mkString(" ")
+        val spaced = phrase.flatMap(c => if (c == ' ') "  " else c.toString + " ").trim
+        // lay out the CLEAN phrase as glyphs; the damaged cell must recover it
+        var x = 0.0
+        val glyphs = phrase.flatMap { ch =>
+          if (ch == ' ') { x += 2.5; None }
+          else { val g = Glyph(ch.toString, x, 0, x + 1.0, 2.0); x += 1.1; Some(g) }
+        }
+        val cell = graft.model.TableCell(0, 1, 0, 1, 1, 1, spaced,
+          columnHeader = false, rowHeader = false, rowSection = false, fillable = false,
+          bbox = Some(graft.model.Bbox(0, 0, x + 2, 2, graft.model.Bbox.TopLeft)))
+        val doc = graft.model.Doc(s"doc://$id", Array(
+          graft.model.DocItem(0, graft.model.ItemKind.Table, graft.model.Label.Table,
+            graft.model.ContentLayer.Body, 1, None, "",
+            Some(graft.model.TableData(1, 1, Array(cell))))),
+          Array(graft.model.PageDim(1, 0, 800)))
+        val pages = graft.extract.SpacingFix.detectSpacingPages(doc)
+        val (fixed, report) = graft.extract.SpacingFix.fixSpacedItems(
+          doc, Map(1 -> glyphs), pages)
+        val out = fixed.items(0).table.get.cells(0).text
+        (id, pages.map(_.size).getOrElse(-1), report.tableCells, out == phrase)
+      }.toDF("doc_id", "damaged_pages", "cells_repaired", "recovered")
+      .orderBy($"doc_id")
+  }
+
+  /** Backend auto-probe: page-1 quality argmax across parse configs. */
+  def backendProbe(s: SparkSession, n: Int = 64): DataFrame = {
+    import s.implicits._
+    s.createDataset(0L until n.toLong).map { i =>
+      val doc = graft.sources.SyntheticPages.dirtyDoc(42L, i)
+      val html = graft.sources.SyntheticPages.htmlFor(doc, 42L, i)
+      val (best, scores) = graft.extract.SpacingFix.probeBackend(doc.url, html)
+      (doc.url, best, scores("standard"), scores("aggressive"))
+    }.toDF("url", "chosen", "score_standard", "score_aggressive")
+      .orderBy($"url")
+  }
+
+  /** Lossless JSON export of the parsed item tree (export_utils.py:31-37). */
+  def docJson(s: SparkSession, n: Int = 16): DataFrame = {
+    import s.implicits._
+    val pages = s.createDataset((0L until n.toLong)
+      .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
+    import graft.extract.Pipeline
+    s.createDataset((0L until n.toLong).map { i =>
+      val d = graft.sources.SyntheticPages.dirtyDoc(42L, i)
+      (d.url, d)
+    }).toDF("url", "doc")
+      .select($"url", to_json($"doc").as("doc_json"),
+        length(to_json($"doc")).as("json_chars"))
+      .orderBy($"url")
+  }
 }

@@ -23,7 +23,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
-      .select(col("w.start").as("hour_start"), col("event_type"),
+      .select(col("w.start").cast("timestamp_ntz").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
   /** Batch form (same physical agg, no state). */
