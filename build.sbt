@@ -27,6 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput collector: the extraction kernel is allocation-heavy and
   // scales measurably better under ParallelGC than G1 at 32 threads
   "-XX:+UseParallelGC",
+  // fault heap pages in at JVM start: on-demand faults showed up as 65-85%
+  // sys time inside the VM at 32 threads
+  "-XX:+AlwaysPreTouch",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

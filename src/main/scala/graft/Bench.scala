@@ -52,8 +52,11 @@ object Bench {
       .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
       .write.mode("overwrite").parquet(pagesDir)
     val pagesDF = spark.read.parquet(pagesDir)
+    val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "128").toInt
+    val fused = sys.env.get("SPARK_GRAFT_BENCH_FUSED").contains("1")
     def extractCount(): Long =
-      graft.extract.Pipeline.extract(spark, pagesDF, numBuckets = 128).count()
+      graft.extract.Pipeline.extract(spark, pagesDF, numBuckets = numBuckets,
+        shuffle = !fused).count()
     extractCount(); extractCount() // JIT/codegen warm-up, untimed
     // best-of-2 to damp host noise (sandbox VM timing jitter)
     val (extracted, sec1) = time(extractCount())

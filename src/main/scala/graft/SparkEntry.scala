@@ -61,6 +61,7 @@ object SparkEntry {
     "q39_backend_probe" -> ((s, _) => ExtractOps.backendProbe(s)),
     "q40_doc_json" -> ((s, _) => ExtractOps.docJson(s)),
     "q41_events_window_batch" -> ((s, d) => graft.streaming.EventStream.batch(s, d)),
+    "q42_pdf_extract" -> (ExtractOps.pdfExtract(_, _)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */

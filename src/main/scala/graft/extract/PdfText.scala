@@ -1,0 +1,269 @@
+package graft.extract
+
+import graft.textkit.SpacingRepair.Glyph
+import scala.collection.mutable
+
+/** Pure-JVM PDF text extraction: content-stream tokenizer -> positioned
+  * glyph runs -> the 2-means line-reconstruction kernel (north_star bullet
+  * (b): content-stream tokenize, glyph-run clustering into lines, reading-
+  * order sort).
+  *
+  * Supports the uncompressed text subset the synthetic corpus emits (and
+  * any conforming minimal PDF): object scan for stream objects, BT/ET text
+  * blocks, Tf/Td/TD/TL/Tm/T* positioning, Tj/'/TJ show-text with kerning
+  * adjustments, literal strings with escapes, fixed per-char advances from
+  * a built-in Helvetica-like width table. No external libraries.
+  *
+  * Glyph y-coordinates are flipped to top-left origin so downstream bbox
+  * logic matches the HTML path.
+  */
+object PdfText {
+  /** Rough Helvetica advance widths (per mille of font size) — enough for
+    * gap clustering; exact metrics are not required because thresholds are
+    * relative (median char width). */
+  private def advance(c: Char): Double = c match {
+    case ' ' => 278
+    case 'i' | 'l' | 'j' | '!' | '\'' | '.' | ',' | ':' | ';' | '|' => 240
+    case 'f' | 't' | 'r' | '(' | ')' | '[' | ']' | '/' | '-' => 333
+    case 'm' | 'M' | 'W' | 'w' => 889
+    case c2 if c2.isUpper => 722
+    case c2 if c2.isDigit => 556
+    case _ => 556
+  }
+
+  private final class Lexer(s: String) {
+    var i = 0
+    def eof: Boolean = i >= s.length
+    def skipWs(): Unit = {
+      while (!eof && (s.charAt(i).isWhitespace || s.charAt(i) == '%')) {
+        if (s.charAt(i) == '%') { while (!eof && s.charAt(i) != '\n') i += 1 }
+        else i += 1
+      }
+    }
+    /** next token: number, name, string, array delim, or operator */
+    def next(): Option[PdfTok] = {
+      skipWs()
+      if (eof) return None
+      val c = s.charAt(i)
+      if (c == '(') {
+        // literal string with escapes and balanced parens
+        val sb = new StringBuilder
+        var depth = 1
+        i += 1
+        while (!eof && depth > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
+              case '(' => sb += '('; case ')' => sb += ')'; case '\\' => sb += '\\'
+              case other => sb += other
+            }
+            i += 2
+          } else if (ch == '(') { depth += 1; sb += ch; i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb += ch; i += 1 }
+          else { sb += ch; i += 1 }
+        }
+        Some(PdfStr(sb.result()))
+      } else if (c == '[') { i += 1; Some(PdfArrOpen) }
+      else if (c == ']') { i += 1; Some(PdfArrClose) }
+      else if (c == '/') {
+        val start = i; i += 1
+        while (!eof && !s.charAt(i).isWhitespace && "()[]<>/".indexOf(s.charAt(i)) < 0) i += 1
+        Some(PdfName(s.substring(start + 1, i)))
+      } else if (c == '<' || c == '>') { i += 1; Some(PdfOther(c.toString)) }
+      else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        val start = i
+        i += 1
+        while (!eof && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        try Some(PdfNum(s.substring(start, i).toDouble))
+        catch { case _: NumberFormatException => Some(PdfOther(s.substring(start, i))) }
+      } else {
+        val start = i
+        while (!eof && !s.charAt(i).isWhitespace && "()[]<>/%".indexOf(s.charAt(i)) < 0) i += 1
+        if (i == start) { i += 1; Some(PdfOther(c.toString)) }
+        else Some(PdfOp(s.substring(start, i)))
+      }
+    }
+  }
+
+  sealed trait PdfTok
+  case class PdfNum(v: Double) extends PdfTok
+  case class PdfStr(v: String) extends PdfTok
+  case class PdfName(v: String) extends PdfTok
+  case class PdfOp(v: String) extends PdfTok
+  case object PdfArrOpen extends PdfTok
+  case object PdfArrClose extends PdfTok
+  case class PdfOther(v: String) extends PdfTok
+
+  /** All content streams in document order (object scan; uncompressed). */
+  def contentStreams(pdf: Array[Byte]): List[String] = {
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = List.newBuilder[String]
+    var from = 0
+    while (true) {
+      val start = s.indexOf("stream", from)
+      if (start < 0) return out.result()
+      var body = start + "stream".length
+      if (body < s.length && s.charAt(body) == '\r') body += 1
+      if (body < s.length && s.charAt(body) == '\n') body += 1
+      val end = s.indexOf("endstream", body)
+      if (end < 0) return out.result()
+      out += s.substring(body, end)
+      from = end + "endstream".length
+    }
+    out.result()
+  }
+
+  /** Interpret one content stream into glyphs (page-local, PDF bottom-left
+    * coords flipped to top-left using pageHeight). */
+  def interpret(stream: String, pageHeight: Double): Seq[Glyph] = {
+    val glyphs = mutable.ArrayBuffer.empty[Glyph]
+    val lex = new Lexer(stream)
+    var fontSize = 12.0
+    var leading = 0.0
+    var x = 0.0; var y = 0.0          // current text position
+    var lineX = 0.0; var lineY = 0.0  // start-of-line position
+    val stack = mutable.ArrayBuffer.empty[PdfTok]
+    var inArray = false
+    val arrayItems = mutable.ArrayBuffer.empty[PdfTok]
+
+    def showText(text: String): Unit = {
+      for (ch <- text) {
+        val w = advance(ch) / 1000.0 * fontSize
+        val h = fontSize
+        if (ch == ' ') {
+          // spaces advance the pen without a glyph; the 2-means gap
+          // clustering downstream recovers the word breaks
+          x += w
+        } else {
+          // flip to top-left origin; glyph box spans the line height
+          glyphs += Glyph(ch.toString, x, pageHeight - (y + h * 0.8), x + w,
+            pageHeight - (y - h * 0.2))
+          x += w
+        }
+      }
+    }
+
+    var tok = lex.next()
+    while (tok.nonEmpty) {
+      tok.get match {
+        case PdfArrOpen => inArray = true; arrayItems.clear()
+        case PdfArrClose => inArray = false
+        case t @ (PdfNum(_) | PdfStr(_) | PdfName(_)) =>
+          if (inArray) arrayItems += t else stack += t
+        case PdfOp(op) =>
+          op match {
+            case "Tf" =>
+              stack.lastOption match {
+                case Some(PdfNum(sz)) => fontSize = sz
+                case _ =>
+              }
+            case "TL" =>
+              stack.lastOption match {
+                case Some(PdfNum(l)) => leading = l
+                case _ =>
+              }
+            case "Td" | "TD" =>
+              (stack.takeRight(2).toList: @unchecked) match {
+                case List(PdfNum(tx), PdfNum(ty)) =>
+                  lineX += tx; lineY += ty
+                  x = lineX; y = lineY
+                  if (op == "TD") leading = -ty
+                case _ =>
+              }
+            case "Tm" =>
+              (stack.takeRight(6).toList: @unchecked) match {
+                case List(PdfNum(_), PdfNum(_), PdfNum(_), PdfNum(_), PdfNum(e), PdfNum(f)) =>
+                  lineX = e; lineY = f; x = e; y = f
+                case _ =>
+              }
+            case "T*" =>
+              lineY -= leading; x = lineX; y = lineY
+            case "Tj" =>
+              stack.lastOption match {
+                case Some(PdfStr(t)) => showText(t)
+                case _ =>
+              }
+            case "'" =>
+              lineY -= leading; x = lineX; y = lineY
+              stack.lastOption match {
+                case Some(PdfStr(t)) => showText(t)
+                case _ =>
+              }
+            case "TJ" =>
+              for (item <- arrayItems) item match {
+                case PdfStr(t) => showText(t)
+                case PdfNum(adj) => x -= adj / 1000.0 * fontSize
+                case _ =>
+              }
+              arrayItems.clear()
+            case "BT" => lineX = 0; lineY = 0; x = 0; y = 0
+            case "ET" | _ => // ignore others (colors, graphics state)
+          }
+          stack.clear()
+        case _ =>
+      }
+      tok = lex.next()
+    }
+    glyphs.toSeq
+  }
+
+  /** Per-page glyphs for a whole PDF. */
+  def extractGlyphs(pdf: Array[Byte], pageHeight: Double = 792.0): Map[Int, Seq[Glyph]] =
+    contentStreams(pdf).zipWithIndex.map { case (cs, idx) =>
+      (idx + 1) -> interpret(cs, pageHeight)
+    }.toMap
+
+  /** Text per page via the reconstruction kernel (lines by y-center
+    * clustering, word gaps by 2-means). */
+  def extractText(pdf: Array[Byte], pageHeight: Double = 792.0): Map[Int, String] =
+    extractGlyphs(pdf, pageHeight).map { case (p, gs) =>
+      p -> graft.textkit.SpacingRepair.reconstructFromChars(gs)
+    }
+}
+
+/** Minimal deterministic PDF writer for the synthetic corpus: one content
+  * stream per page, uncompressed, Helvetica, explicit Td line positioning.
+  * `spreadLetters` emits a TJ array with negative kerning between letters —
+  * the split-letter artifact the spacing-repair battery targets. */
+object SyntheticPdf {
+  def pdfFor(pages: Seq[Seq[String]], spreadLetterLine: Option[(Int, Int)] = None): Array[Byte] = {
+    val objs = mutable.ArrayBuffer.empty[String]
+    val pageObjIds = pages.indices.map(i => 4 + i * 2)
+    objs += "<< /Type /Catalog /Pages 2 0 R >>" // 1
+    objs += s"<< /Type /Pages /Kids [${pageObjIds.map(id => s"$id 0 R").mkString(" ")}] /Count ${pages.length} >>" // 2
+    objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>" // 3
+    for ((lines, pi) <- pages.zipWithIndex) {
+      val content = new StringBuilder
+      content ++= "BT /F1 12 Tf 72 720 Td 14 TL\n"
+      for ((line, li) <- lines.zipWithIndex) {
+        if (li > 0) content ++= "T*\n"
+        val escaped = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        if (spreadLetterLine.contains((pi + 1, li))) {
+          // spread every letter with negative kerning: "(f)-280(i)-280(n)..."
+          val parts = escaped.map(c => s"($c)").mkString(" -280 ")
+          content ++= s"[$parts] TJ\n"
+        } else {
+          content ++= s"($escaped) Tj\n"
+        }
+      }
+      content ++= "ET\n"
+      val cs = content.result()
+      objs += s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${5 + pi * 2} 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>"
+      objs += s"<< /Length ${cs.length} >>\nstream\n$cs\nendstream"
+    }
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    val offsets = mutable.ArrayBuffer.empty[Int]
+    for ((obj, idx) <- objs.zipWithIndex) {
+      offsets += sb.length
+      sb ++= s"${idx + 1} 0 obj\n$obj\nendobj\n"
+    }
+    val xrefPos = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    for (off <- offsets) sb ++= f"$off%010d 00000 n \n"
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"
+    sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+}

@@ -69,16 +69,23 @@ object Pipeline {
 
   /** Full extraction over a pages DataFrame (url, warc_ts, html, text, lang).
     * `skipBuckets` prunes already-committed buckets before the parse stage. */
+  /** `shuffle = true` co-locates each bucket in one task before the parse so
+    * the bucketed write emits one file per bucket (the production layout for
+    * partition-granular resume at 100TB). `shuffle = false` fuses the parse
+    * into the scan stage — zero exchanges — for pure-throughput paths where
+    * write layout doesn't matter (each task then writes to several bucket
+    * dirs; compaction happens at commit). */
   def extract(spark: SparkSession, pages: DataFrame,
               numBuckets: Int = DefaultBuckets,
-              skipBuckets: Set[Int] = Set.empty): Dataset[ExtractedRow] = {
+              skipBuckets: Set[Int] = Set.empty,
+              shuffle: Boolean = true): Dataset[ExtractedRow] = {
     import spark.implicits._
     val bucketed = withBucket(pages, numBuckets)
     val pruned =
       if (skipBuckets.isEmpty) bucketed
       else bucketed.filter(!$"bucket".isin(skipBuckets.toSeq: _*))
-    pruned
-      .repartition(numBuckets, $"bucket")
+    val placed = if (shuffle) pruned.repartition(numBuckets, $"bucket") else pruned
+    placed
       .as[(String, Array[Byte], String, Int)]
       .mapPartitions { it =>
         // batched per-partition loop: compiled regex/state lives in JVM-static

@@ -265,4 +265,26 @@ object ExtractOps {
         length(to_json($"doc")).as("json_chars"))
       .orderBy($"url")
   }
+
+  /** Pure-JVM PDF path: write a minimal PDF per document (text lines, Td/TJ
+    * positioning), tokenize the content stream back into positioned glyphs,
+    * reconstruct reading order via the 2-means kernel, verify round trip. */
+  def pdfExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val words = text.split(" ")
+          val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+          val pages = lines.grouped(12).map(_.toSeq).toSeq
+          val pdf = graft.extract.SyntheticPdf.pdfFor(pages)
+          val extracted = graft.extract.PdfText.extractText(pdf)
+          val joined = (1 to pages.length).map(extracted(_)).mkString(" ")
+          (id, pdf.length, pages.length, joined == text)
+        }
+      }
+      .toDF("doc_id", "pdf_bytes", "n_pages", "roundtrip_ok")
+      .orderBy($"doc_id")
+  }
 }
