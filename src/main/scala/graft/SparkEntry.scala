@@ -48,6 +48,8 @@ object SparkEntry {
     "q22_cosine_neardup" -> ((s, d) => Ops.q22CosineNearDup(s, d)),
     "q23_cosine_lsh_topk" -> ((s, d) => Ops.q23CosineLshTopK(s, d)),
     "q24_label_centroids" -> (Ops.q24LabelCentroids(_, _)),
+    "q25_ngram_jaccard_pruned" -> ((s, d) => Ops.q25NgramJaccardPruned(s, d)),
+    "q26_salted_user_stats" -> ((s, d) => Ops.q26SaltedUserStats(s, d)),
     // extraction-domain (rows-only: engine-native semantics)
     "q30_extract_documents" -> (ExtractOps.extractDocuments(_, _)),
     "q31_audit_synthetic" -> ((s, _) => ExtractOps.auditSynthetic(s)),
@@ -278,6 +280,30 @@ object SparkEntry {
          |FROM n x JOIN n y ON x.vec_id < y.vec_id
          |WHERE round($dotSql / (x.nrm * y.nrm), 4) >= 0.35
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_ngram_jaccard_pruned" ->
+      """WITH ngall AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ng
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 3) tk,
+        |  UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |rare AS (SELECT ng FROM (SELECT ng, count(*) AS df FROM ngall GROUP BY 1) d
+        |  WHERE df <= 50),
+        |ng AS (SELECT ngall.doc_id, ngall.ng FROM ngall JOIN rare ON ngall.ng = rare.ng),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY 1),
+        |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+        |  FROM ng x JOIN ng y ON x.ng = y.ng AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) >= 0.08
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_salted_user_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q41_events_window_batch" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

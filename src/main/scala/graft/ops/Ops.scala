@@ -335,6 +335,49 @@ object Ops {
           .as("avg_sq_norm"))
       .orderBy($"label")
 
+
+  /** Scale-path near-dup: drop non-discriminative shingles (doc-freq > cap)
+    * before the pair join — the standard bound on join blowup for shared-
+    * vocabulary corpora. Same relational shape as q15, skew-pruned. */
+  def q25NgramJaccardPruned(s: SparkSession, dir: String, threshold: Double = 0.08,
+                            maxDocFreq: Int = 50): DataFrame = {
+    val ng = documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
+      .distinct()
+    val rare = ng.groupBy($"ng").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDocFreq)
+      .select($"ng")
+    val pruned = ng.join(rare, "ng")
+    val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n_ng"))
+    val inter = pruned.as("x").join(pruned.as("y"), col("x.ng") === col("y.ng") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_ng", "n_b"), "id_b")
+      .withColumn("jaccard", round($"n_inter".cast("double") /
+        ($"n_a" + $"n_b" - $"n_inter"), 6))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Skew pattern: two-phase salted aggregation over a hot grouping key.
+    * Phase 1 aggregates (key, salt) partials; phase 2 merges per key —
+    * identical result to a direct groupBy, bounded per-task state. */
+  def q26SaltedUserStats(s: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    events(s, dir)
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(salts)))
+      .groupBy($"user_id", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value").as("psum"))
+      .groupBy($"user_id")
+      .agg(sum($"pn").as("n_events"), round(sum($"psum"), 4).as("sum_value"))
+      .orderBy($"user_id")
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.parts.mkString)
   }

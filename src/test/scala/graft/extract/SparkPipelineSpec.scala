@@ -73,6 +73,10 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(snaps.last._2.map(_.docCount).sum == 32)
   }
 
+  test("driver smoke: entry() returns extracted rows") {
+    assert(graft.SparkEntry.entry(spark).count() == 64)
+  }
+
   test("plan shape: single exchange, scan prunes to url/html/lang") {
     val plan = Pipeline.extract(spark, pagesDF(8), numBuckets = 4)
       .queryExecution.executedPlan.toString
