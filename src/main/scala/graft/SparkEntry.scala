@@ -64,6 +64,7 @@ object SparkEntry {
     "q40_doc_json" -> ((s, _) => ExtractOps.docJson(s)),
     "q41_events_window_batch" -> ((s, d) => graft.streaming.EventStream.batch(s, d)),
     "q42_pdf_extract" -> (ExtractOps.pdfExtract(_, _)),
+    "q43_pdf_pipeline" -> ((s, _) => ExtractOps.pdfPipeline(s)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */

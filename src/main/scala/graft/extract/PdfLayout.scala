@@ -1,0 +1,93 @@
+package graft.extract
+
+import graft.model._
+import graft.textkit.SpacingRepair
+import graft.extract.PdfText.SizedGlyph
+import scala.collection.mutable
+
+/** PDF layout parse: sized glyph runs -> visual lines (y-center clustering)
+  * -> blocks (XY-cut-lite: vertical-gap and font-size breaks) -> typed Doc
+  * items in reading order (north_star bullet (b): glyph-run clustering into
+  * lines/blocks, reading-order sort, heading/list span structure).
+  *
+  * Classification: block font >= 17 -> title, >= 13.5 -> section_header,
+  * lines led by "- " -> list_item, else text. Block gap threshold is
+  * relative (1.5x the modal line pitch) so it is size-independent.
+  */
+object PdfLayout {
+  private case class VLine(text: String, size: Double, yTop: Double, yBottom: Double,
+                           x0: Double, x1: Double)
+
+  private def linesOf(sized: Seq[SizedGlyph]): Seq[VLine] = {
+    if (sized.isEmpty) return Seq.empty
+    val bySig = sized.map(sg => (sg.glyph, sg.fontSize))
+    val sizeOf: Map[(Double, Double, String), Double] =
+      bySig.map { case (g, sz) => (g.x0, g.y0, g.c) -> sz }.toMap
+    SpacingRepair.clusterLines(sized.map(_.glyph)).flatMap { items =>
+      val text = SpacingRepair.assembleLine(items)
+      if (text.isEmpty) None
+      else Some(VLine(
+        text = text,
+        size = items.map(g => sizeOf.getOrElse((g.x0, g.y0, g.c), 12.0)).max,
+        yTop = items.map(_.y0).min, yBottom = items.map(_.y1).max,
+        x0 = items.map(_.x0).min, x1 = items.map(_.x1).max))
+    }
+  }
+
+  private def classify(maxSize: Double, firstLine: String): String =
+    if (maxSize >= 17.0) Label.Title
+    else if (maxSize >= 13.5) Label.SectionHeader
+    else if (firstLine.startsWith("- ")) Label.ListItem
+    else Label.Text
+
+  /** Group lines into blocks: break on a vertical gap > 1.5x the modal
+    * pitch, or on a font-size change. */
+  private def blocksOf(lines: Seq[VLine]): Seq[Seq[VLine]] = {
+    if (lines.isEmpty) return Seq.empty
+    val pitches = lines.sliding(2).collect {
+      case Seq(a, b) => b.yTop - a.yTop
+    }.filter(_ > 0).toSeq
+    val modalPitch = if (pitches.isEmpty) 14.0 else graft.textkit.Py.median(pitches)
+    val blocks = mutable.ArrayBuffer(mutable.ArrayBuffer(lines.head))
+    for (Seq(prev, cur) <- lines.sliding(2) if lines.length > 1) {
+      val gap = cur.yTop - prev.yTop
+      val break = gap > modalPitch * 1.5 || cur.size != prev.size ||
+        cur.text.startsWith("- ") || prev.text.startsWith("- ")
+      if (break) blocks += mutable.ArrayBuffer(cur)
+      else blocks.last += cur
+    }
+    blocks.map(_.toSeq).toSeq
+  }
+
+  /** Build a Doc from a PDF payload. */
+  def buildDoc(url: String, pdf: Array[Byte], pageHeight: Double = 792.0): Doc = {
+    val streams = PdfText.contentStreams(pdf)
+    val items = mutable.ArrayBuffer.empty[DocItem]
+    val pages = mutable.ArrayBuffer.empty[PageDim]
+    var idx = 0
+    for ((cs, pi) <- streams.zipWithIndex) {
+      val pageNo = pi + 1
+      pages += PageDim(pageNo, 612.0, pageHeight)
+      val sized = PdfText.interpretSized(cs, pageHeight)
+      for (block <- blocksOf(linesOf(sized))) {
+        val label = classify(block.map(_.size).max, block.head.text)
+        val bbox = Bbox(block.map(_.x0).min, block.map(_.yTop).min,
+          block.map(_.x1).max, block.map(_.yBottom).max, Bbox.TopLeft)
+        if (label == Label.ListItem) {
+          // one item per "- " line, preserving order
+          for (line <- block) {
+            items += DocItem(idx, ItemKind.Text, Label.ListItem, ContentLayer.Body,
+              pageNo, Some(bbox), line.text.stripPrefix("- "), None)
+            idx += 1
+          }
+        } else {
+          val text = block.map(_.text).mkString(" ")
+          items += DocItem(idx, ItemKind.Text, label, ContentLayer.Body,
+            pageNo, Some(bbox), text, None)
+          idx += 1
+        }
+      }
+    }
+    Doc(url, items.toArray, pages.toArray)
+  }
+}

@@ -95,7 +95,25 @@ object PdfText {
   case object PdfArrClose extends PdfTok
   case class PdfOther(v: String) extends PdfTok
 
-  /** All content streams in document order (object scan; uncompressed). */
+  /** Inflate a FlateDecode stream body (ISO-8859-1-roundtripped bytes). */
+  private def inflate(body: Array[Byte]): Option[String] = {
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(body)
+      val out = new java.io.ByteArrayOutputStream(body.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return None
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1))
+    } catch { case _: java.util.zip.DataFormatException => None }
+  }
+
+  /** All content streams in document order (object scan; uncompressed or
+    * FlateDecode). */
   def contentStreams(pdf: Array[Byte]): List[String] = {
     val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
     val out = List.newBuilder[String]
@@ -103,21 +121,46 @@ object PdfText {
     while (true) {
       val start = s.indexOf("stream", from)
       if (start < 0) return out.result()
+      // the object dict precedes the `stream` keyword; check for FlateDecode
+      val dictStart = math.max(s.lastIndexOf("obj", start), from)
+      val dict = s.substring(dictStart, start)
+      val flate = dict.contains("/FlateDecode")
+      val lengthM = java.util.regex.Pattern.compile("/Length\\s+(\\d+)").matcher(dict)
+      val declaredLen = if (lengthM.find()) Some(lengthM.group(1).toInt) else None
       var body = start + "stream".length
       if (body < s.length && s.charAt(body) == '\r') body += 1
       if (body < s.length && s.charAt(body) == '\n') body += 1
-      val end = s.indexOf("endstream", body)
+      // prefer the declared length: compressed payloads may contain the
+      // literal bytes "endstream"
+      val end = declaredLen.map(l => math.min(body + l, s.length))
+        .getOrElse(s.indexOf("endstream", body))
       if (end < 0) return out.result()
-      out += s.substring(body, end)
-      from = end + "endstream".length
+      val raw = s.substring(body, end)
+      if (flate) {
+        // pass bytes unstripped: trailing EOLs before `endstream` are ignored
+        // by the inflater, while stripping could eat legit 0x0A/0x0D deflate
+        // bytes at the end of the compressed payload
+        val bytes = raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        inflate(bytes).foreach(out += _)
+      } else out += raw
+      val close = s.indexOf("endstream", end)
+      from = (if (close >= 0) close else end) + "endstream".length
     }
     out.result()
   }
 
+  /** A glyph plus the font size it was shown at (for layout/heading
+    * classification). */
+  case class SizedGlyph(glyph: Glyph, fontSize: Double)
+
   /** Interpret one content stream into glyphs (page-local, PDF bottom-left
     * coords flipped to top-left using pageHeight). */
-  def interpret(stream: String, pageHeight: Double): Seq[Glyph] = {
-    val glyphs = mutable.ArrayBuffer.empty[Glyph]
+  def interpret(stream: String, pageHeight: Double): Seq[Glyph] =
+    interpretSized(stream, pageHeight).map(_.glyph)
+
+  /** Like interpret, but keeps the active font size per glyph. */
+  def interpretSized(stream: String, pageHeight: Double): Seq[SizedGlyph] = {
+    val glyphs = mutable.ArrayBuffer.empty[SizedGlyph]
     val lex = new Lexer(stream)
     var fontSize = 12.0
     var leading = 0.0
@@ -137,8 +180,8 @@ object PdfText {
           x += w
         } else {
           // flip to top-left origin; glyph box spans the line height
-          glyphs += Glyph(ch.toString, x, pageHeight - (y + h * 0.8), x + w,
-            pageHeight - (y - h * 0.2))
+          glyphs += SizedGlyph(Glyph(ch.toString, x, pageHeight - (y + h * 0.8), x + w,
+            pageHeight - (y - h * 0.2)), fontSize)
           x += w
         }
       }
@@ -259,6 +302,58 @@ object SyntheticPdf {
     for ((obj, idx) <- objs.zipWithIndex) {
       offsets += sb.length
       sb ++= s"${idx + 1} 0 obj\n$obj\nendobj\n"
+    }
+    val xrefPos = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    for (off <- offsets) sb ++= f"$off%010d 00000 n \n"
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"
+    sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** One laid-out line: text, font size, vertical gap from previous line. */
+  case class SizedLine(text: String, size: Double, gapBefore: Double)
+
+  /** Multi-size writer with optional FlateDecode compression. */
+  def pdfSized(pages: Seq[Seq[SizedLine]], compress: Boolean = false): Array[Byte] = {
+    val objs = mutable.ArrayBuffer.empty[String]
+    val pageObjIds = pages.indices.map(i => 4 + i * 2)
+    objs += "<< /Type /Catalog /Pages 2 0 R >>"
+    objs += s"<< /Type /Pages /Kids [${pageObjIds.map(id => s"$id 0 R").mkString(" ")}] /Count ${pages.length} >>"
+    objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for ((lines, pi) <- pages.zipWithIndex) {
+      val content = new StringBuilder
+      content ++= "BT 72 720 Td\n"
+      var lastSize = -1.0
+      for (line <- lines) {
+        if (line.size != lastSize) { content ++= s"/F1 ${line.size} Tf\n"; lastSize = line.size }
+        if (line.gapBefore != 0) content ++= s"0 -${line.gapBefore} Td\n"
+        val escaped = line.text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        content ++= s"($escaped) Tj\n"
+      }
+      content ++= "ET\n"
+      val cs = content.result()
+      objs += s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${5 + pi * 2} 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>"
+      if (compress) {
+        val deflater = new java.util.zip.Deflater()
+        val raw = cs.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        deflater.setInput(raw); deflater.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+        deflater.end()
+        val packed = new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+        objs += s"<< /Length ${packed.length} /Filter /FlateDecode >>\nstream\n$packed\nendstream"
+      } else {
+        objs += s"<< /Length ${cs.length} >>\nstream\n$cs\nendstream"
+      }
+    }
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.4\n"
+    val offsets = mutable.ArrayBuffer.empty[Int]
+    for ((obj, idx2) <- objs.zipWithIndex) {
+      offsets += sb.length
+      sb ++= s"${idx2 + 1} 0 obj\n$obj\nendobj\n"
     }
     val xrefPos = sb.length
     sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"

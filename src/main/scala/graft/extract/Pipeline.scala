@@ -37,10 +37,15 @@ object Pipeline {
 
   /** Parse + transform + render one document. Pure; called per row inside
     * mapPartitions. */
+  private def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+      bytes(3) == 'F' && bytes(4) == '-'
+
   def extractOne(url: String, htmlBytes: Array[Byte], lang: String,
                  bucket: Int): ExtractedRow = {
-    val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
-    val parsed = HtmlExtract.parse(url, html)
+    val parsed =
+      if (isPdf(htmlBytes)) PdfLayout.buildDoc(url, htmlBytes)
+      else HtmlExtract.parse(url, new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
     val (doc, counters) = DocTransforms.applyAll(parsed)
     val md = MarkdownRender.postProcess(MarkdownRender.render(doc))
     val text = MarkdownRender.renderPlainText(doc)

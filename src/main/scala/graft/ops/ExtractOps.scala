@@ -287,4 +287,22 @@ object ExtractOps {
       .toDF("doc_id", "pdf_bytes", "n_pages", "roundtrip_ok")
       .orderBy($"doc_id")
   }
+
+  /** Full pipeline over the PDF corpus (content-stream tokenize -> layout
+    * parse -> transforms -> markdown), structural check per doc. */
+  def pdfPipeline(s: SparkSession, n: Int = 128): DataFrame = {
+    import s.implicits._
+    val pages = s.createDataset((0L until n.toLong).map { i =>
+      val (pdf, expected) = graft.sources.SyntheticPdfPages.pdfDoc(42L, i)
+      (expected.url, pdf, "", "ro", expected.items.length, expected.pages.length)
+    }).toDF("url", "html", "text", "lang", "expected_items", "expected_pages")
+    val extracted = Pipeline.extract(s, pages.select($"url", $"html", $"text", $"lang"),
+      numBuckets = 16).toDF()
+    extracted.join(pages.select($"url", $"expected_items", $"expected_pages"), "url")
+      .select($"url", $"item_count", $"expected_items", $"page_count", $"expected_pages",
+        ($"item_count" === $"expected_items" && $"page_count" === $"expected_pages")
+          .as("structure_ok"),
+        length($"markdown").as("md_chars"))
+      .orderBy($"url")
+  }
 }

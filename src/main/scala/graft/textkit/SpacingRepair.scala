@@ -55,16 +55,15 @@ object SpacingRepair {
     (c1 + c2) / 2.0
   }
 
-  /** pymupdf_spacing_fix.py:138-208 — cluster glyphs into lines, re-space. */
-  def reconstructFromChars(charsIn: Seq[Glyph], gapRatio: Double = 0.35,
-                           lineRatio: Double = 0.6, spaceWidthRatio: Double = 0.6): String = {
-    if (charsIn.isEmpty) return ""
+  /** Cluster glyphs into visual lines by y-center tolerance
+    * (pymupdf_spacing_fix.py:149-158). Returns lines in reading order, each
+    * with its glyphs sorted by x. */
+  def clusterLines(charsIn: Seq[Glyph], lineRatio: Double = 0.6): Seq[Seq[Glyph]] = {
+    if (charsIn.isEmpty) return Seq.empty
     val heights = charsIn.map(_.height)
     val lineTol = medianOr(heights) * lineRatio
-
     // stable sort by (yCenter, x0), mirroring Python list.sort on tuples
     val chars = charsIn.sortBy(g => (g.yCenter, g.x0))
-
     final class Line(val y: Double) {
       val glyphs = scala.collection.mutable.ArrayBuffer.empty[Glyph]
     }
@@ -74,46 +73,57 @@ object SpacingRepair {
         lines += new Line(g.yCenter)
       lines.last.glyphs += g
     }
+    lines.map(_.glyphs.sortBy(_.x0).toSeq).toSeq
+  }
 
-    val lineTexts = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (line <- lines) {
-      val items = line.glyphs.sortBy(_.x0)
-      val nonSpaceWidths = items.filter(g => !isSpaceStr(g.c)).map(_.width).toSeq
-      val medianCharWidth = medianOr(nonSpaceWidths)
-      val gaps = (1 until items.length).toList
-        .map(i => items(i).x0 - items(i - 1).x1)
-        .filter(_ >= 0)
-      val threshold = gapThreshold(gaps, medianCharWidth, gapRatio)
+  /** Assemble one visual line: 2-means gap threshold decides word breaks;
+    * explicit space glyphs count when wide enough
+    * (pymupdf_spacing_fix.py:161-206). */
+  def assembleLine(items: Seq[Glyph], gapRatio: Double = 0.35,
+                   spaceWidthRatio: Double = 0.6): String = {
+    val nonSpaceWidths = items.filter(g => !isSpaceStr(g.c)).map(_.width)
+    val medianCharWidth = medianOr(nonSpaceWidths)
+    val gaps = (1 until items.length).toList
+      .map(i => items(i).x0 - items(i - 1).x1)
+      .filter(_ >= 0)
+    val threshold = gapThreshold(gaps, medianCharWidth, gapRatio)
 
-      val out = new StringBuilder
-      var prev: Option[Glyph] = None
-      var pendingSpace = false
-      var pendingSpaceWidth = 0.0
-      for (g <- items) {
-        if (isSpaceStr(g.c)) {
-          pendingSpace = true
-          pendingSpaceWidth = math.max(pendingSpaceWidth, g.width)
-        } else if (prev.isEmpty) {
-          if (pendingSpace && pendingSpaceWidth >= medianCharWidth * spaceWidthRatio) out += ' '
+    val out = new StringBuilder
+    var prev: Option[Glyph] = None
+    var pendingSpace = false
+    var pendingSpaceWidth = 0.0
+    for (g <- items) {
+      if (isSpaceStr(g.c)) {
+        pendingSpace = true
+        pendingSpaceWidth = math.max(pendingSpaceWidth, g.width)
+      } else if (prev.isEmpty) {
+        if (pendingSpace && pendingSpaceWidth >= medianCharWidth * spaceWidthRatio) out += ' '
+        pendingSpace = false; pendingSpaceWidth = 0.0
+        out ++= g.c
+        prev = Some(g)
+      } else {
+        if (pendingSpace) {
+          if (pendingSpaceWidth >= medianCharWidth * spaceWidthRatio) out += ' '
           pendingSpace = false; pendingSpaceWidth = 0.0
-          out ++= g.c
-          prev = Some(g)
         } else {
-          if (pendingSpace) {
-            if (pendingSpaceWidth >= medianCharWidth * spaceWidthRatio) out += ' '
-            pendingSpace = false; pendingSpaceWidth = 0.0
-          } else {
-            val gap = g.x0 - prev.get.x1
-            if (gap > threshold) out += ' '
-          }
-          out ++= g.c
-          prev = Some(g)
+          val gap = g.x0 - prev.get.x1
+          if (gap > threshold) out += ' '
         }
+        out ++= g.c
+        prev = Some(g)
       }
-      val t = out.result().strip()
-      if (t.nonEmpty) lineTexts += t
     }
-    lineTexts.mkString(" ").strip()
+    out.result().strip()
+  }
+
+  /** pymupdf_spacing_fix.py:138-208 — cluster glyphs into lines, re-space. */
+  def reconstructFromChars(charsIn: Seq[Glyph], gapRatio: Double = 0.35,
+                           lineRatio: Double = 0.6, spaceWidthRatio: Double = 0.6): String = {
+    if (charsIn.isEmpty) return ""
+    clusterLines(charsIn, lineRatio)
+      .map(items => assembleLine(items, gapRatio, spaceWidthRatio))
+      .filter(_.nonEmpty)
+      .mkString(" ").strip()
   }
 
   /** pymupdf_spacing_fix.py:121-135 — word-granularity reconstruction. */

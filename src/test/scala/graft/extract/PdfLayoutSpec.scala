@@ -1,0 +1,40 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import graft.sources.SyntheticPdfPages
+
+class PdfLayoutSpec extends AnyFunSuite {
+  test("layout parse recovers the content plan structurally (40 docs)") {
+    for (i <- 0L until 40L) {
+      val (pdf, expected) = SyntheticPdfPages.pdfDoc(42L, i)
+      val doc = PdfLayout.buildDoc(expected.url, pdf)
+      val got = doc.items.map(it => (it.label, it.pageNo, it.text)).toList
+      val want = expected.items.map(it => (it.label, it.pageNo, it.text)).toList
+      assert(got == want, s"doc $i\ngot:  ${got.take(6)}\nwant: ${want.take(6)}")
+      assert(doc.pages.map(_.pageNo).toList == expected.pages.map(_.pageNo).toList)
+    }
+  }
+
+  test("compressed (FlateDecode) and uncompressed payloads parse identically") {
+    val (pdfU, expected) = SyntheticPdfPages.pdfDoc(42L, 2L) // even: uncompressed
+    val (pdfC, _) = SyntheticPdfPages.pdfDoc(42L, 3L)        // odd: compressed
+    assert(new String(pdfC.take(600).map(_.toChar)).contains("FlateDecode"))
+    assert(PdfLayout.buildDoc("u", pdfU).items.nonEmpty)
+    assert(PdfLayout.buildDoc("u", pdfC).items.nonEmpty)
+  }
+
+  test("pipeline routes PDF payloads end-to-end to markdown") {
+    val (pdf, expected) = SyntheticPdfPages.pdfDoc(42L, 5L)
+    val row = Pipeline.extractOne(expected.url, pdf, "ro", 0)
+    // same expectation path as the HTML corpus: transforms+render over the plan
+    val (clean, _) = DocTransforms.applyAll(expected.copy(
+      items = PdfLayout.buildDoc(expected.url, pdf).items,
+      pages = PdfLayout.buildDoc(expected.url, pdf).pages))
+    val expectedMd = MarkdownRender.postProcess(MarkdownRender.render(clean))
+    assert(row.markdown == expectedMd)
+    assert(row.markdown.contains("# Raport anual"))
+    assert(row.markdown.contains("## "))
+    assert(row.page_count == expected.pages.length)
+  }
+}
