@@ -203,3 +203,29 @@ class EndToEndLocalSpec extends AnyFunSuite {
     assert(metrics.dateRecall == 1.0)
   }
 }
+
+/** Typed UDAF over exploded items equals the doc-local audit counters. */
+class AuditAggregatorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("aggregator over exploded items matches doc-local audit") {
+    import spark.implicits._
+    import graft.audit.{Audit, AuditAggregator}
+    val docs = (0L until 12L).map(i => SyntheticPages.expectedDoc(SyntheticPages.dirtyDoc(42L, i)))
+    val exploded = spark.createDataset(
+      docs.flatMap(d => d.items.map(it => (d.url, AuditAggregator.fromItem(it)))))
+    val viaAgg = exploded.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(AuditAggregator.agg.toColumn.name("c"))
+      .collect().toMap
+    for (d <- docs) {
+      val m = Audit.auditDocVsMarkdown(d, "")
+      val c = viaAgg(d.url)
+      assert(c.spacedTableCells == m.spacedTableCells, d.url)
+      assert(c.totalTableCells == m.totalTableCells, d.url)
+      assert(c.spacedTextItems == m.spacedTextItems, d.url)
+      assert(c.multiSpaceTextItems == m.multiSpaceTextItems, d.url)
+      assert(c.totalTextItems == m.totalTextItems, d.url)
+    }
+  }
+}
