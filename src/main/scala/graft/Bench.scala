@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4),
   *      SPARK_GRAFT_BENCH_DOCS (synthetic corpus size for the headline
-  *      extraction run; default 6000).
+  *      extraction run; default 24000).
   *
   * Scaling evidence (north_rule: >=0.8 efficiency N -> 4N): run twice on the
   * SAME inputs with SPARK_GRAFT_CPUS=8 and =32; see BENCH section in
@@ -18,7 +18,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "6000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "24000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
