@@ -61,7 +61,7 @@ object Audit {
               if (Predicates.isSpacedText(cell.text)) spacedCells += 1
             }
           }
-        case None =>
+        case None if item.kind != ItemKind.Picture =>
           val text = item.text
           if (text != null && text.nonEmpty) {
             totalTextItems += 1
@@ -72,6 +72,7 @@ object Audit {
             if ((spaced || collapsed) && !(multi && !spaced && !collapsed))
               spacedTextItems += 1
           }
+        case None => // picture: carries region text for the caption pass only
       }
     }
 

@@ -29,7 +29,8 @@ object AuditAggregator {
     case Some(t) => ItemSlice(isTable = true, tocLike = Audit.isTocLikeTable(t),
       cellTexts = t.cells.map(c => Option(c.text).getOrElse("")), text = "")
     case None => ItemSlice(isTable = false, tocLike = false,
-      cellTexts = Array.empty, text = Option(item.text).getOrElse(""))
+      cellTexts = Array.empty,
+      text = if (item.kind == ItemKind.Picture) "" else Option(item.text).getOrElse(""))
   }
 
   val agg: Aggregator[ItemSlice, Buf, DamageCounters] =

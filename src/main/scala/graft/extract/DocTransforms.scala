@@ -237,7 +237,8 @@ object DocTransforms {
   def normalizeDocTextWhitespace(doc: Doc): (Doc, Int) = {
     var updated = 0
     val items = doc.items.map { item =>
-      if (item.kind == ItemKind.Table || item.text == null || item.text.isEmpty) item
+      if (item.kind == ItemKind.Table || item.kind == ItemKind.Picture ||
+          item.text == null || item.text.isEmpty) item
       else {
         var normalized = Whitespace.normalizeTextWhitespace(item.text)
         normalized = TextNormalize.normalizeMojibakeText(normalized)
@@ -366,6 +367,7 @@ object DocTransforms {
     val (d4, c4) = normalizeDocTableCurrencies(doc); doc = d4; counters("normalized_currencies") = c4
     val (d5, c5) = removeDateOnlyTextInsidePictures(doc); doc = d5; counters("removed_dates") = c5
     val (d6, c6) = removeAxisTextInsidePictures(doc); doc = d6; counters("removed_axis_text") = c6
+    val (d6b, c6b) = SpacingFix.addPictureKpiCaptionsFromItems(doc); doc = d6b; counters("added_kpis") = c6b
     val (d7, c7) = normalizeDocTextWhitespace(doc); doc = d7; counters("normalized_text") = c7
     (doc, counters.toMap)
   }

@@ -332,8 +332,10 @@ object HtmlExtract {
         case "img" =>
           flushBlock()
           recordPage()
+          // picture-region text (the KPI-OCR analog) rides in an attribute;
+          // it is NOT body text — only the caption pass reads it
           items += DocItem(nextIdx(), ItemKind.Picture, Label.Picture, ContentLayer.Body,
-            pageNo, parseBbox(attrs), "", None)
+            pageNo, parseBbox(attrs), attrs.getOrElse("data-picture-text", ""), None)
         case "table" =>
           if (closing) finishTable()
           else { flushBlock(); table = new TableBuf(parseBbox(attrs)) }

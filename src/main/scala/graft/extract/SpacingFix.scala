@@ -27,11 +27,12 @@ object SpacingFix {
           if (t.cells.exists(c => Predicates.needsTableSpacingFix(c.text))) {
             if (item.pageNo > 0) pages += item.pageNo else hasUnknown = true
           }
-        case None =>
+        case None if item.kind != ItemKind.Picture =>
           val text = item.text
           if (text != null && text.nonEmpty && Predicates.needsSpacingFix(text)) {
             if (item.pageNo > 0) pages += item.pageNo else hasUnknown = true
           }
+        case None => // picture-region text is caption-pass input, not damage
       }
     }
     if (hasUnknown) None else Some(pages.toSet)
@@ -153,6 +154,20 @@ object SpacingFix {
       }
     }
     (doc.copy(items = out.toArray), added)
+  }
+
+  /** addPictureKpiCaptions specialization for the pipeline: the picture
+    * item's own text field carries the region text (parsed from the
+    * data-picture-text channel). Active only when some picture has text —
+    * the KPI_OCR-enabled analog. */
+  def addPictureKpiCaptionsFromItems(doc: Doc, maxAdded: Int = 30): (Doc, Int) = {
+    if (!doc.items.exists(i => i.kind == ItemKind.Picture && i.text != null && i.text.nonEmpty))
+      (doc, 0)
+    else {
+      val byKey = doc.items.filter(_.kind == ItemKind.Picture)
+        .map(i => (i.pageNo, i.bbox) -> Option(i.text).getOrElse("")).toMap
+      addPictureKpiCaptions(doc, (p, b) => byKey.getOrElse((p, Some(b)), ""), maxAdded)
+    }
   }
 
   /** Backend auto-probe (conversion_utils.py:180-228): parse the document

@@ -125,10 +125,15 @@ object SyntheticPages {
       // standalone chart-axis residue (removed at markdown level, kept in text)
       if (rng.nextInt(3) == 0) add(ItemKind.Text, Label.Text, p, pick(rng, AxisLines))
 
-      // picture with overlapping chart noise (deleted by spatial transforms)
+      // picture with overlapping chart noise (deleted by spatial transforms);
+      // half the pictures carry KPI-like region text (the KPI_OCR channel)
       if (rng.nextInt(2) == 0) {
         val picBox = Bbox(40, 100, 300, 320, Bbox.TopLeft)
-        add(ItemKind.Picture, Label.Picture, p, "", bbox = Some(picBox))
+        val picText =
+          if (rng.nextInt(2) == 0)
+            "CIFRA DE AFACERI\nNETA ANUALA\nRON\n158,06 MIL.\n(EUR 31,08 MIL.)\n+24,66%\nvs\n9L " + (2020 + i % 7)
+          else ""
+        add(ItemKind.Picture, Label.Picture, p, picText, bbox = Some(picBox))
         add(ItemKind.Text, Label.Caption, p, "Evolutia indicatorului cheie pe noua luni")
         // date-only inside the picture -> deleted
         add(ItemKind.Text, Label.Text, p, "31.12.2024",
@@ -253,7 +258,11 @@ object SyntheticPages {
                 sb ++= s"<p${bboxAttr(item.bbox)}>$body</p>\n"
             }
           case ItemKind.Picture =>
-            sb ++= s"""<img src="img$k.png"${bboxAttr(item.bbox)}/>\n"""
+            val picAttr =
+              if (item.text != null && item.text.nonEmpty)
+                s""" data-picture-text="${esc(item.text).replace("\"", "&quot;")}""""
+              else ""
+            sb ++= s"""<img src="img$k.png"${bboxAttr(item.bbox)}$picAttr/>\n"""
           case ItemKind.Table =>
             item.table.foreach { t =>
               sb ++= s"<table${bboxAttr(item.bbox)}>\n"
