@@ -378,6 +378,79 @@ object Ops {
       .agg(sum($"pn").as("n_events"), round(sum($"psum"), 4).as("sum_value"))
       .orderBy($"user_id")
 
+
+  /** IVF ANN scale path: deterministic k-means coarse quantizer (seeded init
+    * from the first k vectors, fixed 5 Lloyd iterations — no RNG), vectors
+    * assigned to their nearest centroid cell, top-k search probes only the
+    * nprobe nearest cells. Centroids are tiny -> broadcast; the probe join is
+    * a cell-key equi-join, never a cross join. */
+  def q27CosineIvfTopK(s: SparkSession, dir: String, k: Int = 5,
+                       cells: Int = 16, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val vecs = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) => (id, e.map(_.toDouble).toArray) }
+      .collect() // small at test SF; at scale: sample for training, then broadcast centroids
+    val dim = vecs.head._2.length
+    // deterministic k-means
+    var centroids = vecs.sortBy(_._1).take(cells).map(_._2.clone())
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Long](cells)
+      for ((_, v) <- vecs) {
+        val c = nearestCell(v, centroids, 1).head
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(cells) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    val bc = s.sparkContext.broadcast(centroids)
+
+    val assigned = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, e) =>
+        val v = e.map(_.toDouble).toArray
+        val cell = nearestCell(v, bc.value, 1).head
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (id, cell, v, nrm)
+      }.toDF("vec_id", "cell", "v", "nrm")
+
+    val probes = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, e) =>
+        val v = e.map(_.toDouble).toArray
+        nearestCell(v, bc.value, nprobe).map(c => (id, c))
+      }.toDF("q_id", "cell")
+
+    val qside = assigned.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairs = probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(qside, "q_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (s, e) -> s + e)") /
+          (col("qnrm") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** nearest `n` centroid indices by L2 (deterministic tiebreak on index). */
+  private def nearestCell(v: Array[Double], centroids: Array[Array[Double]], n: Int): Seq[Int] = {
+    centroids.indices
+      .map { c =>
+        var dist = 0.0
+        val cv = centroids(c)
+        var d = 0
+        while (d < v.length) { val diff = v(d) - cv(d); dist += diff * diff; d += 1 }
+        (dist, c)
+      }
+      .sortBy(identity)
+      .take(n).map(_._2)
+  }
+
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.parts.mkString)
   }

@@ -164,7 +164,15 @@ object SyntheticPages {
           def dc(c: Int, text: String) =
             TableCell(r, r + 1, c, c + 1, 1, 1, text, columnHeader = false,
               rowHeader = false, rowSection = false, fillable = false, bbox = None)
-          cells += dc(0, RowLabels((rng.nextInt(RowLabels.length))))
+          // exercise rowspan: with >=4 data rows the first label spans 2 rows
+          if (r == 1 && nDataRows >= 4)
+            cells += TableCell(1, 3, 0, 1, 2, 1, RowLabels(rng.nextInt(RowLabels.length)),
+              columnHeader = false, rowHeader = false, rowSection = false,
+              fillable = false, bbox = None)
+          else if (r == 2 && nDataRows >= 4)
+            () // label column covered by the rowspan above
+          else
+            cells += dc(0, RowLabels((rng.nextInt(RowLabels.length))))
           // currency+value split across the 2-col group (collapse merges them)
           val flip = r == nDataRows && nDataRows >= 3
           val cur = if (flip) (if (dominantCur == "RON") "EUR" else "RON") else dominantCur

@@ -126,3 +126,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
 }
+
+/** IVF ANN: deterministic quantizer, bounded ranks, high recall vs brute. */
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.extract.SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("ivf top-k is deterministic and agrees with brute force on shared pairs") {
+    import spark.implicits._
+    val ivf1 = Ops.q27CosineIvfTopK(spark, sf).as[(Long, Long, Double, Int)].collect()
+    val ivf2 = Ops.q27CosineIvfTopK(spark, sf).as[(Long, Long, Double, Int)].collect()
+    assert(ivf1.sameElements(ivf2), "nondeterministic ivf result")
+    assert(ivf1.nonEmpty)
+    val brute = Ops.q21CosineTopK(spark, sf, limitIds = 2000).as[(Long, Long, Double, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for ((v, n, sim, _) <- ivf1.take(300); bsim <- brute.get((v, n)))
+      assert(math.abs(sim - bsim) < 1e-9, s"sim mismatch ($v,$n)")
+    // recall@5 against brute force (probing 2/16 cells keeps most neighbors)
+    val bruteTop = Ops.q21CosineTopK(spark, sf, limitIds = 2000).as[(Long, Long, Double, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfTop = ivf1.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = ivfTop.collect { case (v, ns) if bruteTop.contains(v) =>
+      (ns & bruteTop(v)).size.toDouble / bruteTop(v).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall > 0.3, s"ivf recall too low: $meanRecall")
+  }
+}
