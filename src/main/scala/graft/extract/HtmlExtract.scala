@@ -56,12 +56,20 @@ object HtmlExtract {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val body = s.substring(i + 1, semi)
+          // invalid refs (&#-1;, &#x110000;, lone surrogates) keep raw text
+          def appendCp(parse: => Int): Boolean =
+            try {
+              val cp = parse
+              if (Character.isValidCodePoint(cp) && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+                sb.appendCodePoint(cp); true
+              } else false
+            } catch { case _: NumberFormatException => false }
           if (body.startsWith("#x") || body.startsWith("#X")) {
-            try { sb.appendCodePoint(Integer.parseInt(body.substring(2), 16)); i = semi + 1 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            if (appendCp(Integer.parseInt(body.substring(2), 16))) i = semi + 1
+            else { sb.append(c); i += 1 }
           } else if (body.startsWith("#")) {
-            try { sb.appendCodePoint(Integer.parseInt(body.substring(1))); i = semi + 1 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            if (appendCp(Integer.parseInt(body.substring(1)))) i = semi + 1
+            else { sb.append(c); i += 1 }
           } else Entities.get(body) match {
             case Some(rep) => sb.append(rep); i = semi + 1
             case None => sb.append(c); i += 1
@@ -181,7 +189,10 @@ object HtmlExtract {
     var figureDepth = 0
     var figcaptionDepth = 0
     var block: BlockBuf = null
-    var table: TableBuf = null
+    // stack: real crawl HTML nests tables; inner tables emit as their own
+    // items while the outer table keeps collecting
+    val tableStack = mutable.ArrayBuffer.empty[TableBuf]
+    def table: TableBuf = if (tableStack.isEmpty) null else tableStack.last
     var cellBbox: Option[Bbox] = None
 
     def startBlock(): Unit = if (block == null) block = new BlockBuf
@@ -209,6 +220,13 @@ object HtmlExtract {
 
     def finishTable(): Unit = {
       if (table != null) {
+        val t = tableStack.remove(tableStack.length - 1)
+        finishTableBuf(t)
+      }
+    }
+
+    def finishTableBuf(table: TableBuf): Unit = {
+      {
         // compute dimensions from occupancy
         var numRows = 0
         var numCols = 0
@@ -226,7 +244,6 @@ object HtmlExtract {
         items += DocItem(nextIdx(), ItemKind.Table, Label.Table, ContentLayer.Body,
           pageNo, table.bbox, "", Some(TableData(numRows, numCols, cells)))
       }
-      table = null
     }
 
     val s = html
@@ -338,7 +355,7 @@ object HtmlExtract {
             pageNo, parseBbox(attrs), attrs.getOrElse("data-picture-text", ""), None)
         case "table" =>
           if (closing) finishTable()
-          else { flushBlock(); table = new TableBuf(parseBbox(attrs)) }
+          else { flushBlock(); tableStack += new TableBuf(parseBbox(attrs)) }
         case "tr" =>
           if (table != null && !closing) { table.row += 1; table.col = 0; table.current = null }
         case "td" | "th" =>
@@ -385,7 +402,7 @@ object HtmlExtract {
     }
 
     flushBlock()
-    finishTable()
+    while (table != null) finishTable() // unterminated tables at EOF
     recordPage()
     Doc(url, items.toArray, pages.toArray)
   }

@@ -3,6 +3,7 @@ package graft.extract
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The end-to-end extraction pipeline as Catalyst-planned stages
   * (SURVEY.md §3.1 Spark lifecycle):
@@ -105,22 +106,52 @@ object Pipeline {
                        numBuckets: Int = DefaultBuckets): (String, Long) = {
     import spark.implicits._
     val done = graft.lineage.Lineage.committedBuckets(outDir)
+
+    // crash safety: a previous run may have written bucket files and died
+    // before committing the manifest — those buckets will be re-extracted, so
+    // their orphaned files must go first or append would duplicate rows
+    val dataDir = java.nio.file.Paths.get(outDir, "data")
+    if (java.nio.file.Files.exists(dataDir)) {
+      val stream = java.nio.file.Files.list(dataDir)
+      try {
+        stream.iterator().asScala.foreach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("bucket=")) {
+            val b = name.stripPrefix("bucket=").toInt
+            if (!done.contains(b)) {
+              // uncommitted leftovers: remove recursively
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally walk.close()
+            }
+          }
+        }
+      } finally stream.close()
+    }
+
     val t0 = System.nanoTime()
     val extracted = extract(spark, pages, numBuckets, skipBuckets = done)
     extracted.toDF()
       .write.mode("append").partitionBy("bucket").parquet(s"$outDir/data")
     val elapsedMs = (System.nanoTime() - t0) / 1000000
 
-    val stats = spark.read.parquet(s"$outDir/data")
+    // incremental stats: aggregate only the just-written buckets and merge
+    // with the previous manifest (no full-history rescan at commit time)
+    val prevStats: Map[Int, graft.lineage.Lineage.PartitionStat] =
+      graft.lineage.Lineage.snapshots(outDir).lastOption
+        .map(_._2.map(s => s.bucket -> s).toMap).getOrElse(Map.empty)
+        .filter { case (b, _) => done.contains(b) }
+    val newStats = spark.read.parquet(s"$outDir/data")
+      .filter(!$"bucket".isin(done.toSeq: _*))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("doc_count"), sum($"md_chars").as("bytes"))
       .as[(Int, Long, Long)].collect()
+      .map { case (b, n, bytes) => graft.lineage.Lineage.PartitionStat(b, n, bytes, elapsedMs) }
 
-    val newDocs = stats.filterNot(s => done.contains(s._1)).map(_._2).sum
-    val snapshotId = graft.lineage.Lineage.commit(outDir, numBuckets,
-      stats.sortBy(_._1).map { case (b, n, bytes) =>
-        graft.lineage.Lineage.PartitionStat(b, n, bytes, elapsedMs)
-      },
+    val merged = (prevStats.values ++ newStats).toSeq.sortBy(_.bucket)
+    val newDocs = newStats.map(_.docCount).sum
+    val snapshotId = graft.lineage.Lineage.commit(outDir, numBuckets, merged,
       inputDesc = pages.schema.map(_.name).mkString(","))
     (snapshotId, newDocs)
   }

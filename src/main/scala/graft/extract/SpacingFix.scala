@@ -134,9 +134,15 @@ object SpacingFix {
     var added = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[DocItem]
     var nextIdx = doc.items.map(_.idx).foldLeft(0)(math.max) + 1
-    for (item <- doc.items) {
+    for ((item, pos) <- doc.items.zipWithIndex) {
       out += item
-      if (added < maxAdded && item.kind == ItemKind.Picture && item.bbox.nonEmpty) {
+      // pictures that already have a caption are skipped
+      // (picture_kpi_extract.py:213 `if item.captions: continue`) — in our
+      // tree a picture's caption is the immediately following caption item
+      val hasCaption = pos + 1 < doc.items.length &&
+        doc.items(pos + 1).label == Label.Caption
+      if (added < maxAdded && item.kind == ItemKind.Picture && item.bbox.nonEmpty &&
+          !hasCaption) {
         var raw = pictureText(item.pageNo, item.bbox.get)
         if (raw != null && raw.nonEmpty) {
           raw = TextNormalize.normalizeLigatures(TextNormalize.normalizeMojibakeText(raw))

@@ -21,15 +21,22 @@ object Lineage {
 
   private def lineageDir(outDir: String) = Paths.get(outDir, "_lineage")
 
+  /** Names of manifest files, with the directory stream closed promptly. */
+  private def manifestNames(outDir: String): List[String] = {
+    val dir = lineageDir(outDir)
+    if (!Files.exists(dir)) return Nil
+    val stream = Files.list(dir)
+    try stream.iterator().asScala.map(_.getFileName.toString)
+      .filter(s => s.startsWith("snapshot-") && s.endsWith(".json")).toList
+    finally stream.close()
+  }
+
+  private def idOf(name: String): Long =
+    name.stripPrefix("snapshot-").stripSuffix(".json").toLong
+
   /** Monotonic snapshot id = max existing + 1 (no wall clock: determinism). */
   private def nextSnapshotId(outDir: String): Long = {
-    val dir = lineageDir(outDir)
-    if (!Files.exists(dir)) return 1L
-    val ids = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
-      }.toList
+    val ids = manifestNames(outDir).map(idOf)
     if (ids.isEmpty) 1L else ids.max + 1L
   }
 
@@ -61,13 +68,9 @@ object Lineage {
   /** Buckets already committed by the latest snapshot (empty if none). */
   def committedBuckets(outDir: String): Set[Int] = {
     val dir = lineageDir(outDir)
-    if (!Files.exists(dir)) return Set.empty
-    val manifests = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(s => s.startsWith("snapshot-") && s.endsWith(".json"))
-      .toList
+    val manifests = manifestNames(outDir)
     if (manifests.isEmpty) return Set.empty
-    val latest = manifests.maxBy(s => s.stripPrefix("snapshot-").stripSuffix(".json").toLong)
+    val latest = manifests.maxBy(idOf)
     val json = Files.readString(dir.resolve(latest))
     // minimal parse: partition_id values
     val m = java.util.regex.Pattern.compile("\"partition_id\":\\s*(\\d+)").matcher(json)
@@ -76,16 +79,12 @@ object Lineage {
     out.result()
   }
 
-  /** All snapshots with their partition rows (for inspection/queries). */
+  /** All snapshots with their partition rows, in snapshot-id order. */
   def snapshots(outDir: String): Seq[(Long, Seq[PartitionStat])] = {
     val dir = lineageDir(outDir)
-    if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(s => s.startsWith("snapshot-") && s.endsWith(".json"))
-      .toSeq.sorted
+    manifestNames(outDir).sortBy(idOf)
       .map { name =>
-        val id = name.stripPrefix("snapshot-").stripSuffix(".json").toLong
+        val id = idOf(name)
         val json = Files.readString(dir.resolve(name))
         val m = java.util.regex.Pattern.compile(
           "\\{\"partition_id\":\\s*(\\d+),\\s*\"doc_count\":\\s*(\\d+),\\s*\"bytes\":\\s*(\\d+),\\s*\"elapsed_ms\":\\s*(\\d+)\\}").matcher(json)

@@ -120,12 +120,12 @@ object ExtractOps {
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val media = text.getBytes("UTF-8") // stands in for image/audio bytes
+          val media = Option(text).getOrElse("").getBytes("UTF-8") // stands in for image/audio bytes
           // STUB decode: fake header = (width, height) from first bytes.
           // A real deployment swaps in an actual codec here; the schema,
           // batching, and feature shape stay identical.
-          val width = 1 + (media(0) & 0x7F)
-          val height = 1 + (media(media.length / 2) & 0x7F)
+          val width = if (media.isEmpty) 1 else 1 + (media(0) & 0x7F)
+          val height = if (media.isEmpty) 1 else 1 + (media(media.length / 2) & 0x7F)
           val hist = new Array[Long](8)
           var i = 0
           while (i < media.length) { hist((media(i) & 0xFF) / 32) += 1; i += 1 }
@@ -254,15 +254,12 @@ object ExtractOps {
   /** Lossless JSON export of the parsed item tree (export_utils.py:31-37). */
   def docJson(s: SparkSession, n: Int = 16): DataFrame = {
     import s.implicits._
-    val pages = s.createDataset((0L until n.toLong)
-      .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
-    import graft.extract.Pipeline
     s.createDataset((0L until n.toLong).map { i =>
       val d = graft.sources.SyntheticPages.dirtyDoc(42L, i)
       (d.url, d)
     }).toDF("url", "doc")
-      .select($"url", to_json($"doc").as("doc_json"),
-        length(to_json($"doc")).as("json_chars"))
+      .select($"url", to_json($"doc").as("doc_json"))
+      .withColumn("json_chars", length($"doc_json"))
       .orderBy($"url")
   }
 

@@ -181,6 +181,7 @@ object Ops {
   private def ngrams3(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3) // sequence(0, negative) would DESCEND in Spark
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
       .distinct()
@@ -208,6 +209,7 @@ object Ops {
   def q16Fingerprint(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 4) // mirror the oracle's guard; see ngrams3
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(w)-4), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))")).as("sh"))
       .groupBy($"doc_id")
@@ -390,19 +392,27 @@ object Ops {
     val vecs = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .map { case (id, e) => (id, e.map(_.toDouble).toArray) }
       .collect() // small at test SF; at scale: sample for training, then broadcast centroids
+    if (vecs.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType))))
     val dim = vecs.head._2.length
+    val nCells = math.min(cells, vecs.length)
     // deterministic k-means
-    var centroids = vecs.sortBy(_._1).take(cells).map(_._2.clone())
+    var centroids = vecs.sortBy(_._1).take(nCells).map(_._2.clone())
     for (_ <- 0 until 5) {
-      val sums = Array.fill(cells)(new Array[Double](dim))
-      val counts = new Array[Long](cells)
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
       for ((_, v) <- vecs) {
         val c = nearestCell(v, centroids, 1).head
         counts(c) += 1
         var d = 0
         while (d < dim) { sums(c)(d) += v(d); d += 1 }
       }
-      centroids = Array.tabulate(cells) { c =>
+      centroids = Array.tabulate(nCells) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }

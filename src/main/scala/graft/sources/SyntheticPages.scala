@@ -134,7 +134,10 @@ object SyntheticPages {
             "CIFRA DE AFACERI\nNETA ANUALA\nRON\n158,06 MIL.\n(EUR 31,08 MIL.)\n+24,66%\nvs\n9L " + (2020 + i % 7)
           else ""
         add(ItemKind.Picture, Label.Picture, p, picText, bbox = Some(picBox))
-        add(ItemKind.Text, Label.Caption, p, "Evolutia indicatorului cheie pe noua luni")
+        // only some pictures come with an existing caption: the KPI caption
+        // pass must skip those (reference `if item.captions: continue`)
+        if (rng.nextInt(2) == 0)
+          add(ItemKind.Text, Label.Caption, p, "Evolutia indicatorului cheie pe noua luni")
         // date-only inside the picture -> deleted
         add(ItemKind.Text, Label.Text, p, "31.12.2024",
           bbox = Some(Bbox(60, 120, 110, 140, Bbox.TopLeft)))

@@ -153,3 +153,24 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(meanRecall > 0.3, s"ivf recall too low: $meanRecall")
   }
 }
+
+/** Oracle-divergence regression: short documents in the n-gram family. */
+class ShortDocSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = graft.extract.SparkTestSession.spark
+
+  test("docs under the shingle width produce no n-grams (matching the oracle)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shortdocs").toString
+    Seq((1L, "solo", "en", "s", 4L), (2L, "two words", "en", "s", 9L),
+        (3L, "three word doc", "en", "s", 14L),
+        (4L, "a proper four token document right here now", "en", "s", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // fabricated descending-sequence shingles would pair docs 1/2 spuriously
+    val sigs = Ops.q17MinhashSignatures(spark, dir).collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(3L, 4L))
+    val fps = Ops.q16Fingerprint(spark, dir).collect()
+    assert(fps.map(_.getLong(0)).toSet == Set(4L))
+    assert(Ops.q15NgramJaccardPairs(spark, dir).collect().forall(r => r.getLong(0) >= 3))
+  }
+}
