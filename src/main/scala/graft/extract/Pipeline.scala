@@ -132,8 +132,14 @@ object Pipeline {
 
     val t0 = System.nanoTime()
     val extracted = extract(spark, pages, numBuckets, skipBuckets = done)
+    // observed metrics ride the job (audit_utils fix-report counters analog,
+    // SURVEY §2.4): no second pass, no accumulators to merge by hand
+    val obs = org.apache.spark.sql.Observation(s"extract-commit")
     extracted.toDF()
+      .observe(obs, count(lit(1)).as("docs"), sum($"changed_cells").as("changed_cells"),
+        sum($"removed_items").as("removed_items"), sum($"md_chars").as("md_chars"))
       .write.mode("append").partitionBy("bucket").parquet(s"$outDir/data")
+    val observed = obs.get
     val elapsedMs = (System.nanoTime() - t0) / 1000000
 
     // incremental stats: aggregate only the just-written buckets and merge
@@ -152,7 +158,10 @@ object Pipeline {
     val merged = (prevStats.values ++ newStats).toSeq.sortBy(_.bucket)
     val newDocs = newStats.map(_.docCount).sum
     val snapshotId = graft.lineage.Lineage.commit(outDir, numBuckets, merged,
-      inputDesc = pages.schema.map(_.name).mkString(","))
+      inputDesc = pages.schema.map(_.name).mkString(",") +
+        s"; observed: docs=${observed.getOrElse("docs", 0L)}" +
+        s" changed_cells=${observed.getOrElse("changed_cells", 0L)}" +
+        s" removed_items=${observed.getOrElse("removed_items", 0L)}")
     (snapshotId, newDocs)
   }
 }
