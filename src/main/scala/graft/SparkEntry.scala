@@ -50,6 +50,7 @@ object SparkEntry {
     "q24_label_centroids" -> (Ops.q24LabelCentroids(_, _)),
     "q25_ngram_jaccard_pruned" -> ((s, d) => Ops.q25NgramJaccardPruned(s, d)),
     "q27_cosine_ivf_topk" -> ((s, d) => Ops.q27CosineIvfTopK(s, d)),
+    "q28_simhash64" -> (Ops.q28Simhash64(_, _)),
     "q26_salted_user_stats" -> ((s, d) => Ops.q26SaltedUserStats(s, d)),
     // extraction-domain (rows-only: engine-native semantics)
     "q30_extract_documents" -> (ExtractOps.extractDocuments(_, _)),
