@@ -15,8 +15,9 @@ import scala.collection.mutable
   * relative (1.5x the modal line pitch) so it is size-independent.
   */
 object PdfLayout {
+  private case class CellRun(text: String, x0: Double, x1: Double)
   private case class VLine(text: String, size: Double, yTop: Double, yBottom: Double,
-                           x0: Double, x1: Double)
+                           x0: Double, x1: Double, runs: Seq[CellRun])
 
   private def linesOf(sized: Seq[SizedGlyph]): Seq[VLine] = {
     if (sized.isEmpty) return Seq.empty
@@ -26,13 +27,30 @@ object PdfLayout {
     SpacingRepair.clusterLines(sized.map(_.glyph)).flatMap { items =>
       val text = SpacingRepair.assembleLine(items)
       if (text.isEmpty) None
-      else Some(VLine(
-        text = text,
-        size = items.map(g => sizeOf.getOrElse((g.x0, g.y0, g.c), 12.0)).max,
-        yTop = items.map(_.y0).min, yBottom = items.map(_.y1).max,
-        x0 = items.map(_.x0).min, x1 = items.map(_.x1).max))
+      else {
+        val size = items.map(g => sizeOf.getOrElse((g.x0, g.y0, g.c), 12.0)).max
+        // cell runs: split on gaps far wider than word spacing (> 1.5x size)
+        val runs = mutable.ArrayBuffer(mutable.ArrayBuffer(items.head))
+        for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
+          if (b.x0 - a.x1 > size * 1.5) runs += mutable.ArrayBuffer(b)
+          else runs.last += b
+        }
+        val cellRuns = runs.map { rg =>
+          CellRun(SpacingRepair.assembleLine(rg.toSeq), rg.map(_.x0).min, rg.map(_.x1).max)
+        }.toSeq
+        Some(VLine(
+          text = text, size = size,
+          yTop = items.map(_.y0).min, yBottom = items.map(_.y1).max,
+          x0 = items.map(_.x0).min, x1 = items.map(_.x1).max,
+          runs = cellRuns))
+      }
     }
   }
+
+  /** Column signature match: same run count (>= 2) and aligned run starts. */
+  private def sameColumns(a: VLine, b: VLine, tol: Double): Boolean =
+    a.runs.length >= 2 && a.runs.length == b.runs.length &&
+      a.runs.zip(b.runs).forall { case (x, y) => math.abs(x.x0 - y.x0) <= tol }
 
   private def classify(maxSize: Double, firstLine: String): String =
     if (maxSize >= 17.0) Label.Title
@@ -69,7 +87,43 @@ object PdfLayout {
       val pageNo = pi + 1
       pages += PageDim(pageNo, 612.0, pageHeight)
       val sized = PdfText.interpretSized(cs, pageHeight)
-      for (block <- blocksOf(linesOf(sized))) {
+      val lines = linesOf(sized)
+      // table bands: maximal runs of consecutive lines sharing a >=2-column
+      // x-start signature become TableData; everything else flows to blocks
+      val segments = mutable.ArrayBuffer.empty[(Boolean, Seq[VLine])] // (isTable, lines)
+      var li = 0
+      def bandStartsAt(j: Int): Boolean =
+        j + 1 < lines.length && sameColumns(lines(j), lines(j + 1), 6.0)
+      while (li < lines.length) {
+        val start = li
+        if (bandStartsAt(li)) {
+          var end = li + 1
+          while (end + 1 < lines.length && sameColumns(lines(end), lines(end + 1), 6.0)) end += 1
+          segments += ((true, lines.slice(start, end + 1)))
+          li = end + 1
+        } else {
+          var end = li
+          while (end + 1 < lines.length && !bandStartsAt(end + 1)) end += 1
+          segments += ((false, lines.slice(start, end + 1)))
+          li = end + 1
+        }
+      }
+      for ((isTable, segLines) <- segments) {
+        if (isTable) {
+          val nRows = segLines.length
+          val nCols = segLines.head.runs.length
+          val cells = for ((line, r) <- segLines.zipWithIndex; (run, c) <- line.runs.zipWithIndex)
+            yield TableCell(r, r + 1, c, c + 1, 1, 1, run.text,
+              columnHeader = r == 0, rowHeader = false, rowSection = false,
+              fillable = false,
+              bbox = Some(Bbox(run.x0, line.yTop, run.x1, line.yBottom, Bbox.TopLeft)))
+          val bbox = Bbox(segLines.map(_.x0).min, segLines.map(_.yTop).min,
+            segLines.map(_.x1).max, segLines.map(_.yBottom).max, Bbox.TopLeft)
+          items += DocItem(idx, ItemKind.Table, Label.Table, ContentLayer.Body,
+            pageNo, Some(bbox), "", Some(TableData(nRows, nCols, cells.toArray)))
+          idx += 1
+        } else {
+      for (block <- blocksOf(segLines)) {
         val label = classify(block.map(_.size).max, block.head.text)
         val bbox = Bbox(block.map(_.x0).min, block.map(_.yTop).min,
           block.map(_.x1).max, block.map(_.yBottom).max, Bbox.TopLeft)
@@ -85,6 +139,8 @@ object PdfLayout {
           items += DocItem(idx, ItemKind.Text, label, ContentLayer.Body,
             pageNo, Some(bbox), text, None)
           idx += 1
+        }
+      }
         }
       }
     }

@@ -310,8 +310,11 @@ object SyntheticPdf {
     sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
-  /** One laid-out line: text, font size, vertical gap from previous line. */
-  case class SizedLine(text: String, size: Double, gapBefore: Double)
+  /** One laid-out line: text, font size, vertical gap from previous line.
+    * When `cells` is non-empty the line is a table row: (columnX, text)
+    * pairs positioned with relative Td moves. */
+  case class SizedLine(text: String, size: Double, gapBefore: Double,
+                       cells: Seq[(Double, String)] = Nil)
 
   /** Multi-size writer with optional FlateDecode compression. */
   def pdfSized(pages: Seq[Seq[SizedLine]], compress: Boolean = false): Array[Byte] = {
@@ -324,11 +327,24 @@ object SyntheticPdf {
       val content = new StringBuilder
       content ++= "BT 72 720 Td\n"
       var lastSize = -1.0
+      def esc(t: String) = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
       for (line <- lines) {
         if (line.size != lastSize) { content ++= s"/F1 ${line.size} Tf\n"; lastSize = line.size }
         if (line.gapBefore != 0) content ++= s"0 -${line.gapBefore} Td\n"
-        val escaped = line.text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-        content ++= s"($escaped) Tj\n"
+        if (line.cells.isEmpty) {
+          content ++= s"(${esc(line.text)}) Tj\n"
+        } else {
+          // table row: walk columns with relative moves, then restore x
+          val base = 72.0
+          var cx = base
+          for ((x, text) <- line.cells) {
+            val dx = x - cx
+            if (dx != 0) content ++= s"$dx 0 Td\n"
+            content ++= s"(${esc(text)}) Tj\n"
+            cx = x
+          }
+          if (cx != base) content ++= s"${base - cx} 0 Td\n"
+        }
       }
       content ++= "ET\n"
       val cs = content.result()

@@ -22,6 +22,12 @@ object SyntheticPdfPages {
     "Analiza rezultatelor financiare", "Pozitia financiara consolidata",
     "Evolutia fluxurilor de numerar", "Structura costurilor operationale")
 
+  private val TableLabels = Array(
+    "CIFRA DE AFACERI", "CHELTUIELI TOTALE", "PROFIT NET", "ACTIVE TOTALE")
+  private val TableDirty = Array(
+    "168.506.901 RON", "84 % 84 %", "RON 471.371]", "1 234.567")
+  private val TableClean = Array("RON 158.065.856", "EUR 36.549.554", "24,66%")
+
   private val ListItems = Array(
     "Majorarea capitalului social subscris",
     "Extinderea suprafetei agricole exploatate",
@@ -80,6 +86,27 @@ object SyntheticPdfPages {
           for ((line, li) <- wrapped.zipWithIndex)
             lines += SizedLine(line, 12, if (li == 0) 30 else 14)
           add(Label.Text, p, wrapped.mkString(" "))
+        }
+        // a 4-column table block: aligned cell runs across >= 3 rows
+        if (rng.nextInt(2) == 0) {
+          val colX = Seq(72.0, 250.0, 400.0, 545.0)
+          val nRows = 3 + rng.nextInt(2)
+          val cellGrid = (0 until nRows).map { r =>
+            if (r == 0) Seq("Indicatori", "30/09/2025", "30/09/2024", "Delta")
+            else Seq(TableLabels(rng.nextInt(TableLabels.length)),
+              TableDirty(rng.nextInt(TableDirty.length)),
+              TableClean(rng.nextInt(TableClean.length)),
+              (1 + rng.nextInt(99)) + ",5%")
+          }
+          for ((row, r) <- cellGrid.zipWithIndex)
+            lines += SizedLine("", 12, if (r == 0) 30 else 16, cells = colX.zip(row))
+          val cells = for ((row, r) <- cellGrid.zipWithIndex; (t, c) <- row.zipWithIndex)
+            yield graft.model.TableCell(r, r + 1, c, c + 1, 1, 1, t,
+              columnHeader = r == 0, rowHeader = false, rowSection = false,
+              fillable = false, bbox = None)
+          items += DocItem(idx, ItemKind.Table, Label.Table, ContentLayer.Body, p, None, "",
+            Some(graft.model.TableData(nRows, 4, cells.toArray)))
+          idx += 1
         }
         if (sIdx == nSections - 1 && rng.nextInt(2) == 0) {
           val n = 2 + rng.nextInt(2)

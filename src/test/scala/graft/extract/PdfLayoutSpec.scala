@@ -12,6 +12,14 @@ class PdfLayoutSpec extends AnyFunSuite {
       val got = doc.items.map(it => (it.label, it.pageNo, it.text)).toList
       val want = expected.items.map(it => (it.label, it.pageNo, it.text)).toList
       assert(got == want, s"doc $i\ngot:  ${got.take(6)}\nwant: ${want.take(6)}")
+      // table items: full cell grids must match
+      for ((g, w) <- doc.items.zip(expected.items) if w.table.nonEmpty) {
+        val gt = g.table.getOrElse(fail(s"doc $i: expected a table item"))
+        val wt = w.table.get
+        assert(gt.numRows == wt.numRows && gt.numCols == wt.numCols, s"doc $i table shape")
+        assert(gt.cells.map(c => (c.startRow, c.startCol, c.text)).toList ==
+          wt.cells.map(c => (c.startRow, c.startCol, c.text)).toList, s"doc $i table cells")
+      }
       assert(doc.pages.map(_.pageNo).toList == expected.pages.map(_.pageNo).toList)
     }
   }
