@@ -43,10 +43,10 @@ class SparkPipelineSpec extends AnyFunSuite {
 
   test("distributed extraction matches committed goldens byte-for-byte") {
     import spark.implicits._
-    val out = Pipeline.extract(spark, pagesDF(32), numBuckets = 8)
+    val out = Pipeline.extract(spark, pagesDF(64), numBuckets = 8)
       .map(r => (r.url, r.markdown, r.text)).collect()
     val g = goldens()
-    assert(out.length == 32)
+    assert(out.length == 64)
     for ((url, md, text) <- out) {
       val (gmd, gtext) = g(url)
       assert(md == gmd, s"markdown mismatch for $url")
