@@ -73,6 +73,24 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(snaps.last._2.map(_.docCount).sum == 32)
   }
 
+  test("mixed HTML and PDF payloads flow through one pipeline run") {
+    import spark.implicits._
+    val htmlPages = (0L until 8L).map(i => graft.sources.SyntheticPages.page(42L, i))
+      .map(p => (p.url, p.html, p.text, p.lang))
+    val pdfPages = (0L until 8L).map { i =>
+      val (pdf, expected) = graft.sources.SyntheticPdfPages.pdfDoc(42L, i)
+      (expected.url, pdf, "", "ro")
+    }
+    val pages = spark.createDataset(htmlPages ++ pdfPages).toDF("url", "html", "text", "lang")
+    val out = Pipeline.extract(spark, pages, numBuckets = 4)
+      .map(r => (r.url, r.markdown)).collect().toMap
+    assert(out.size == 16)
+    val g = goldens()
+    for ((url, (gmd, _)) <- g.view.filterKeys(out.contains))
+      assert(out(url) == gmd, s"html golden mismatch for $url")
+    assert(pdfPages.forall { case (u, _, _, _) => out(u).contains("# Raport anual") })
+  }
+
   test("driver smoke: entry() returns extracted rows") {
     assert(graft.SparkEntry.entry(spark).count() == 64)
   }
