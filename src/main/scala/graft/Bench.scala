@@ -18,7 +18,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val cpusN = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpusN = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toIntOption
+      .getOrElse(Runtime.getRuntime.availableProcessors) // tolerate local[*]-style values
     // default headline corpus scales with cores so low-parallelism runs
     // finish promptly; override with SPARK_GRAFT_BENCH_DOCS for scaling runs
     val benchDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toInt)

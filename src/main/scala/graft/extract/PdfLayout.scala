@@ -89,21 +89,29 @@ object PdfLayout {
       val sized = PdfText.interpretSized(cs, pageHeight)
       val lines = linesOf(sized)
       // table bands: maximal runs of consecutive lines sharing a >=2-column
-      // x-start signature become TableData; everything else flows to blocks
+      // x-start signature become TableData; everything else flows to blocks.
+      // A wide vertical gap or a font-size change breaks the band too — two
+      // stacked tables with coincident columns must stay separate items.
+      val pitches = lines.sliding(2).collect {
+        case Seq(a, b) => b.yTop - a.yTop
+      }.filter(_ > 0).toSeq
+      val modalPitch = if (pitches.isEmpty) 14.0 else graft.textkit.Py.median(pitches)
+      def bandContinues(j: Int): Boolean =
+        j + 1 < lines.length && sameColumns(lines(j), lines(j + 1), 6.0) &&
+          lines(j + 1).yTop - lines(j).yTop <= modalPitch * 1.75 &&
+          lines(j + 1).size == lines(j).size
       val segments = mutable.ArrayBuffer.empty[(Boolean, Seq[VLine])] // (isTable, lines)
       var li = 0
-      def bandStartsAt(j: Int): Boolean =
-        j + 1 < lines.length && sameColumns(lines(j), lines(j + 1), 6.0)
       while (li < lines.length) {
         val start = li
-        if (bandStartsAt(li)) {
+        if (bandContinues(li)) {
           var end = li + 1
-          while (end + 1 < lines.length && sameColumns(lines(end), lines(end + 1), 6.0)) end += 1
+          while (bandContinues(end)) end += 1
           segments += ((true, lines.slice(start, end + 1)))
           li = end + 1
         } else {
           var end = li
-          while (end + 1 < lines.length && !bandStartsAt(end + 1)) end += 1
+          while (end + 1 < lines.length && !bandContinues(end + 1)) end += 1
           segments += ((false, lines.slice(start, end + 1)))
           li = end + 1
         }
@@ -123,24 +131,24 @@ object PdfLayout {
             pageNo, Some(bbox), "", Some(TableData(nRows, nCols, cells.toArray)))
           idx += 1
         } else {
-      for (block <- blocksOf(segLines)) {
-        val label = classify(block.map(_.size).max, block.head.text)
-        val bbox = Bbox(block.map(_.x0).min, block.map(_.yTop).min,
-          block.map(_.x1).max, block.map(_.yBottom).max, Bbox.TopLeft)
-        if (label == Label.ListItem) {
-          // one item per "- " line, preserving order
-          for (line <- block) {
-            items += DocItem(idx, ItemKind.Text, Label.ListItem, ContentLayer.Body,
-              pageNo, Some(bbox), line.text.stripPrefix("- "), None)
-            idx += 1
+          for (block <- blocksOf(segLines)) {
+            val label = classify(block.map(_.size).max, block.head.text)
+            val bbox = Bbox(block.map(_.x0).min, block.map(_.yTop).min,
+              block.map(_.x1).max, block.map(_.yBottom).max, Bbox.TopLeft)
+            if (label == Label.ListItem) {
+              // one item per "- " line, preserving order
+              for (line <- block) {
+                items += DocItem(idx, ItemKind.Text, Label.ListItem, ContentLayer.Body,
+                  pageNo, Some(bbox), line.text.stripPrefix("- "), None)
+                idx += 1
+              }
+            } else {
+              val text = block.map(_.text).mkString(" ")
+              items += DocItem(idx, ItemKind.Text, label, ContentLayer.Body,
+                pageNo, Some(bbox), text, None)
+              idx += 1
+            }
           }
-        } else {
-          val text = block.map(_.text).mkString(" ")
-          items += DocItem(idx, ItemKind.Text, label, ContentLayer.Body,
-            pageNo, Some(bbox), text, None)
-          idx += 1
-        }
-      }
         }
       }
     }

@@ -158,10 +158,15 @@ object Pipeline {
     val merged = (prevStats.values ++ newStats).toSeq.sortBy(_.bucket)
     val newDocs = newStats.map(_.docCount).sum
     val snapshotId = graft.lineage.Lineage.commit(outDir, numBuckets, merged,
-      inputDesc = pages.schema.map(_.name).mkString(",") +
-        s"; observed: docs=${observed.getOrElse("docs", 0L)}" +
-        s" changed_cells=${observed.getOrElse("changed_cells", 0L)}" +
-        s" removed_items=${observed.getOrElse("removed_items", 0L)}")
+      inputDesc = {
+        // sum() over zero rows observes as null (key present) — normalize
+        def met(k: String): Long =
+          observed.get(k).flatMap(v => Option(v)).map(_.asInstanceOf[Number].longValue)
+            .getOrElse(0L)
+        pages.schema.map(_.name).mkString(",") +
+          s"; observed: docs=${met("docs")} changed_cells=${met("changed_cells")}" +
+          s" removed_items=${met("removed_items")}"
+      })
     (snapshotId, newDocs)
   }
 }

@@ -449,21 +449,21 @@ object Ops {
 
 
   /** 64-bit SimHash (the production width; q19's 16-bit variant exists for
-    * oracle portability). Same shingle stream, vote per bit, assemble long. */
+    * oracle portability). Four derived hash views contribute 16 genuinely
+    * varying bits each — polyhash < 2^30 means its high bits are constant,
+    * so bits must come from the LOW 16 of each derived value. */
   def q28Simhash64(s: SparkSession, dir: String): DataFrame = {
     val toks = ngrams3(s, dir).select($"doc_id", polyhash($"ng").as("h"))
-    // two derived 32-bit hash views give 64 independent vote bits from the
-    // single portable polyhash (h and h*31+17 mod p)
-    val h2 = pmod($"h" * lit(31L) + lit(17L), lit(MinhashP))
-    val votes = (0 until 32).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v_$j")
-    } ++ (0 until 32).map { j =>
-      sum(when(shiftright(h2, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"w_$j")
+    val views = (0 until 4).map { k =>
+      pmod(lit(2L * k + 3) * $"h" + lit(7L * k + 11), lit(MinhashP))
     }
+    val votes = for (k <- 0 until 4; j <- 0 until 16) yield
+      sum(when(shiftright(views(k), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"v_${k * 16 + j}")
     val voted = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-    val low = (0 until 32).map(j => when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    val high = (0 until 32).map(j => when(col(s"w_$j") > 0, lit(1L << (j + 32))).otherwise(lit(0L))).reduce(_ + _)
-    voted.select($"doc_id", (low + high).as("simhash64")).orderBy($"doc_id")
+    val sim = (0 until 64).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select($"doc_id", sim.as("simhash64")).orderBy($"doc_id")
   }
 
   /** nearest `n` centroid indices by L2 (deterministic tiebreak on index). */

@@ -45,4 +45,22 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(row.markdown.contains("## "))
     assert(row.page_count == expected.pages.length)
   }
+
+  test("two stacked tables with coincident columns stay separate items") {
+    import graft.extract.SyntheticPdf.SizedLine
+    val colX = Seq(72.0, 250.0, 400.0)
+    def row(a: String, b: String, c: String, gap: Double) =
+      SizedLine("", 12, gap, cells = colX.zip(Seq(a, b, c)))
+    val lines = Seq(
+      row("Indicatori", "30/09/2025", "Delta", 0),
+      row("PROFIT NET", "RON 471.371", "24,66%", 16),
+      row("CIFRA", "EUR 36.549.554", "78,5%", 16),
+      // 60pt of whitespace: a second, separate table
+      row("Indicatori", "30/09/2024", "Delta", 60),
+      row("ACTIVE", "RON 158.065.856", "35,5%", 16))
+    val pdf = graft.extract.SyntheticPdf.pdfSized(Seq(lines))
+    val tables = PdfLayout.buildDoc("u", pdf).items.flatMap(_.table)
+    assert(tables.length == 2, s"expected 2 tables, got ${tables.length}")
+    assert(tables(0).numRows == 3 && tables(1).numRows == 2)
+  }
 }

@@ -86,7 +86,9 @@ class SparkPipelineSpec extends AnyFunSuite {
       .map(r => (r.url, r.markdown)).collect().toMap
     assert(out.size == 16)
     val g = goldens()
-    for ((url, (gmd, _)) <- g.view.filterKeys(out.contains))
+    val overlap = g.view.filterKeys(out.contains).toMap
+    assert(overlap.size == 8, s"expected 8 html goldens in the mix, got ${overlap.size}")
+    for ((url, (gmd, _)) <- overlap)
       assert(out(url) == gmd, s"html golden mismatch for $url")
     assert(pdfPages.forall { case (u, _, _, _) => out(u).contains("# Raport anual") })
   }
