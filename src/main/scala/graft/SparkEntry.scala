@@ -51,22 +51,25 @@ object SparkEntry {
     "q25_ngram_jaccard_pruned" -> ((s, d) => Ops.q25NgramJaccardPruned(s, d)),
     "q27_cosine_ivf_topk" -> ((s, d) => Ops.q27CosineIvfTopK(s, d)),
     "q28_simhash64" -> (Ops.q28Simhash64(_, _)),
+    "q29_simhash64_pairs" -> ((s, d) => Ops.q29Simhash64Pairs(s, d)),
     "q26_salted_user_stats" -> ((s, d) => Ops.q26SaltedUserStats(s, d)),
-    // extraction-domain (rows-only: engine-native semantics)
+    // extraction-domain (engine-native semantics; every output column is
+    // either a closed-form the oracle recomputes from the parquet or an
+    // engine-verified invariant with an exact expected constant)
     "q30_extract_documents" -> (ExtractOps.extractDocuments(_, _)),
-    "q31_audit_synthetic" -> ((s, _) => ExtractOps.auditSynthetic(s)),
+    "q31_audit_synthetic" -> (ExtractOps.auditDriverDocs(_, _)),
     "q32_spacing_flags" -> (ExtractOps.spacingFlags(_, _)),
     "q33_glyph_repair" -> (ExtractOps.glyphRepair(_, _)),
     "q34_multimodal_features" -> (ExtractOps.multimodalFeatures(_, _)),
     "q35_clean_cells" -> (ExtractOps.cleanCells(_, _)),
-    "q36_worst_pages" -> ((s, _) => ExtractOps.worstPages(s)),
-    "q37_ocr_merge" -> ((s, _) => ExtractOps.ocrMerge(s)),
+    "q36_worst_pages" -> ((s, d) => ExtractOps.worstPages(s, d)),
+    "q37_ocr_merge" -> ((s, d) => ExtractOps.ocrMerge(s, d)),
     "q38_spacing_fix_flow" -> (ExtractOps.spacingFixFlow(_, _)),
-    "q39_backend_probe" -> ((s, _) => ExtractOps.backendProbe(s)),
-    "q40_doc_json" -> ((s, _) => ExtractOps.docJson(s)),
+    "q39_backend_probe" -> (ExtractOps.backendProbe(_, _)),
+    "q40_doc_json" -> (ExtractOps.docJson(_, _)),
     "q41_events_window_batch" -> ((s, d) => graft.streaming.EventStream.batch(s, d)),
     "q42_pdf_extract" -> (ExtractOps.pdfExtract(_, _)),
-    "q43_pdf_pipeline" -> ((s, _) => ExtractOps.pdfPipeline(s)),
+    "q43_pdf_pipeline" -> (ExtractOps.pdfPipeline(_, _)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */
@@ -125,6 +128,38 @@ object SparkEntry {
        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v""".stripMargin
   }
+
+  /** 64-bit simhash CTE chain ending in `sh(doc_id, simhash)` — mirrors
+    * Ops.simhash64Core (4 derived views x 16 low bits). Bit 63's addend is
+    * ordered last so DuckDB's checked BIGINT addition never overflows
+    * (partial sum of bits 0..62 <= 2^63-1, then + Long.MIN stays in range). */
+  private def simhash64Ctes: String = {
+    val views = (0 until 4).map { k =>
+      s"(CAST(${2 * k + 3} AS BIGINT) * h + ${7 * k + 11}) % ${Ops.MinhashP}"
+    }
+    val votes = (for (k <- 0 until 4; j <- 0 until 16) yield
+      s"sum(CASE WHEN ((${views(k)}) >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v_${k * 16 + j}")
+      .mkString(", ")
+    val assemble = (0 until 64).map { b =>
+      val bit = if (b == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << b} AS BIGINT)"
+      s"(CASE WHEN v_$b > 0 THEN $bit ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""ng AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ng
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 3) tk,
+       |  UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+       |h AS (SELECT doc_id, ${phSql("ng")} AS h FROM ng),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
+
+  /** Integer LCG hyperplane component for q23, portable to any engine:
+    * dim index i is 1-based here (DuckDB lists), matching Spark's 0-based
+    * (p*64 + i + 1). */
+  private def q23PlaneSql(p: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> " +
+      s"v[i] * CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i) + 12345) % 1024 - 512 AS DOUBLE))), " +
+      "(s, e) -> s + e)"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -320,5 +355,221 @@ object SparkEntry {
         |   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), (s, e) -> s + e)), 4)
         |   AS avg_sq_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q23_cosine_lsh_topk" -> {
+      val bucket = (0 until 6).map { p =>
+        s"(CASE WHEN ${q23PlaneSql(p)} >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, $normSql AS nrm, $bucket AS bucket FROM vv),
+         |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+         |  round($dotSql / (x.nrm * y.nrm), 4) AS sim
+         |  FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC)
+         |    AS INTEGER) AS rank FROM p)
+         |SELECT vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+         |ORDER BY vec_id, rank""".stripMargin
+    },
+
+    "q27_cosine_ivf_topk" ->
+      s"""WITH vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, $normSql AS nrm FROM vv),
+         |cent AS (SELECT c, list_transform(generate_series(1, 64), d ->
+         |   CAST((CAST(2654435761 AS BIGINT) * (c * 64 + d - 1) + 40503) % 257 - 128 AS DOUBLE) / 256.0) AS cv
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS c)),
+         |dist AS (SELECT n.vec_id, n.v, n.nrm, cent.c AS cell,
+         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |    i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))), (s, e) -> s + e) AS dist
+         |  FROM n, cent),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC)
+         |  AS INTEGER) AS crank FROM dist),
+         |assigned AS (SELECT vec_id, cell, v, nrm FROM rk WHERE crank = 1),
+         |probes AS (SELECT vec_id AS q_id, cell FROM rk WHERE crank <= 2),
+         |pairs AS (SELECT p.q_id, a.vec_id AS neighbor_id,
+         |  round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |    i -> q.v[i] * a.v[i])), (s, e) -> s + e) / (q.nrm * a.nrm), 4) AS sim
+         |  FROM probes p
+         |  JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.vec_id
+         |  JOIN assigned q ON q.vec_id = p.q_id),
+         |r AS (SELECT q_id, neighbor_id, sim, CAST(row_number() OVER (
+         |  PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank FROM pairs)
+         |SELECT q_id AS vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+         |ORDER BY vec_id, rank""".stripMargin,
+
+    "q28_simhash64" ->
+      s"WITH $simhash64Ctes SELECT doc_id, simhash AS simhash64 FROM sh ORDER BY doc_id",
+
+    "q29_simhash64_pairs" ->
+      s"""WITH $simhash64Ctes
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         | CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ---- extraction-domain closed-form oracles -----------------------------
+    // The HTML wrappers in ExtractOps are built so the parsed item tree has
+    // exact closed forms: W words -> P=ceil(W/12) paragraphs, H=P//3 section
+    // headings, plus nav + h1 + footer (3 items). Invariant columns (covered,
+    // roundtrip_ok, recall == 1.0) are the reference's own acceptance bars —
+    // the engine must actually achieve them for the hash to match.
+
+    "q30_extract_documents" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INTEGER) AS p FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | 1 AS page_count,
+        | CAST(3 + p + p // 3 AS INTEGER) AS item_count,
+        | 0 AS table_count,
+        | CAST(length(text) AS INTEGER) AS src_chars,
+        | TRUE AS covered
+        |FROM s ORDER BY url""".stripMargin,
+
+    "q31_audit_synthetic" ->
+      """WITH w2 AS (SELECT doc_id, lang,
+        |  array_to_string(list_filter(string_split(text, ' '), t -> length(t) >= 2), ' ')
+        |    AS text FROM documents),
+        |s AS (SELECT doc_id, text, lang,
+        |  CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INTEGER) AS p,
+        |  (doc_id % 5 = 0) AS tbl FROM w2),
+        |s2 AS (SELECT *, CAST(p // 3 AS INTEGER) AS h,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, p // 3),
+        |    k -> CAST(9 + length(CAST(k AS VARCHAR)) + length(lang) AS BIGINT))),
+        |    (a, b) -> a + b) AS headchars
+        |  FROM s)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(1.0 AS DOUBLE) AS "tokenCoverage",
+        | CAST(1.0 AS DOUBLE) AS "numericRecall",
+        | CAST(1.0 AS DOUBLE) AS "dateRecall",
+        | CAST(CASE WHEN tbl THEN 1 ELSE 0 END AS BIGINT) AS "tableCountPdf",
+        | CAST(CASE WHEN tbl THEN 1 ELSE 0 END AS BIGINT) AS "tableCountMd",
+        | CAST(CASE WHEN tbl THEN 9 ELSE 0 END AS BIGINT) AS "tableCellsPdf",
+        | CAST(1 + h AS BIGINT) AS "headingCountPdf",
+        | CAST(1 + h AS BIGINT) AS "headingCountMd",
+        | CAST((9 + length(CAST(doc_id AS VARCHAR)))
+        |   + (CASE WHEN tbl THEN 31 ELSE 0 END)
+        |   + (length(text) - (p - 1)) + headchars
+        |   + (1 + (CASE WHEN tbl THEN 9 ELSE 0 END) + p + h - 1) AS BIGINT) AS "pdfTextLength",
+        | CAST((11 + length(CAST(doc_id AS VARCHAR)))
+        |   + (CASE WHEN tbl THEN 95 ELSE 0 END)
+        |   + (length(text) - (p - 1)) + headchars + 3 * h
+        |   + 2 * (1 + (CASE WHEN tbl THEN 1 ELSE 0 END) + p + h - 1) AS BIGINT) AS "mdTextLength",
+        | CAST(0 AS BIGINT) AS "spacedTableCells",
+        | CAST(CASE WHEN tbl THEN 9 ELSE 0 END AS BIGINT) AS "totalTableCells",
+        | CAST(0 AS BIGINT) AS "spacedTextItems",
+        | CAST(0 AS BIGINT) AS "multiSpaceTextItems",
+        | CAST(3 + p + h AS BIGINT) AS "totalTextItems"
+        |FROM s2 ORDER BY url""".stripMargin,
+
+    "q32_spacing_flags" ->
+      """SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS cls,
+        | (doc_id % 7 = 0) AS is_spaced,
+        | (doc_id % 7 = 2) AS is_multi_space,
+        | (doc_id % 7 = 1) AS is_collapsed,
+        | (doc_id % 7 = 0 OR doc_id % 7 = 1) AS needs_fix,
+        | CAST(100 - 5 * (doc_id % 3) - CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INTEGER)
+        |   AS quality_score,
+        | CAST(doc_id % 3 AS INTEGER) AS short_lines,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS repeated_lines
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_glyph_repair" ->
+      """SELECT doc_id,
+        | CAST(least(length(text), 80) AS INTEGER) AS phrase_len,
+        | CAST(length(rtrim(substr(text, 1, 80))) AS INTEGER) AS rebuilt_len,
+        | TRUE AS roundtrip_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_multimodal_features" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n,
+        |  list_transform(string_split(text, ''), c -> ascii(c)) AS codes FROM documents),
+        |h AS (SELECT doc_id, n, codes,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 3)) AS BIGINT) AS h3,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 4)) AS BIGINT) AS h4,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 5)) AS BIGINT) AS h5,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 6)) AS BIGINT) AS h6,
+        |  CAST(len(list_filter(codes, x -> x // 32 = 7)) AS BIGINT) AS h7
+        | FROM b)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+        | CAST(1 + (codes[1] % 128) AS INTEGER) AS width,
+        | CAST(1 + (codes[CAST(n // 2 AS INTEGER) + 1] % 128) AS INTEGER) AS height,
+        | h0, h1, h2, h3, h4, h5, h6, h7,
+        | CAST(h0*h0 + h1*h1 + h2*h2 + h3*h3 + h4*h4 + h5*h5 + h6*h6 + h7*h7 AS BIGINT) AS sumsq
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q35_clean_cells" -> {
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val rows = graft.ops.ExtractOps.CleanCellFixtures.zipWithIndex.map {
+        case ((dirty, clean, suspect), i) =>
+          s"(CAST($i AS BIGINT), ${lit(dirty)}, ${lit(clean)}, $suspect)"
+      }.mkString(",\n ")
+      s"""SELECT * FROM (VALUES
+         | $rows) AS t(cell_id, dirty, clean, still_suspect)
+         |ORDER BY cell_id""".stripMargin
+    },
+
+    "q36_worst_pages" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS w FROM documents),
+        |pg AS (SELECT doc_id, w, CAST(p AS INTEGER) AS p, least(12, w - 12 * (p - 1)) AS wp
+        |  FROM d, UNNEST(generate_series(1, CAST(ceil(w / 12.0) AS BIGINT))) AS t(p)),
+        |cov AS (SELECT doc_id, p,
+        |  round(CAST(wp + CASE WHEN (doc_id + p) % 3 = 0 THEN 1 ELSE 3 END AS DOUBLE)
+        |    / CAST(wp + 3 AS DOUBLE), 6) AS token_coverage FROM pg),
+        |r AS (SELECT 'doc://' || doc_id AS url, p AS page_no, token_coverage,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY token_coverage ASC, p ASC)
+        |    AS INTEGER) AS rank FROM cov)
+        |SELECT url, page_no, token_coverage, rank FROM r WHERE rank <= 5
+        |ORDER BY url, rank""".stripMargin,
+
+    "q37_ocr_merge" ->
+      """SELECT doc_id AS pair_id, CAST(doc_id % 3 AS INTEGER) AS cls,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS suspect_replaced,
+        | 1 AS spaced_replaced,
+        | 0 AS suspect_after
+        |FROM documents ORDER BY pair_id""".stripMargin,
+
+    "q38_spacing_fix_flow" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, 1 AS damaged_pages, 1 AS cells_repaired, TRUE AS recovered,
+        | CAST(length(array_to_string(w[1:6], ' ')) AS INTEGER) AS phrase_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q39_backend_probe" ->
+      """SELECT 'doc://' || doc_id AS url,
+        | CASE WHEN doc_id % 4 = 0 THEN 'aggressive' ELSE 'standard' END AS chosen,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 98 ELSE 100 END AS INTEGER) AS score_standard,
+        | 100 AS score_aggressive
+        |FROM documents ORDER BY url""".stripMargin,
+
+    "q40_doc_json" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INTEGER) AS p FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(3 + p + p // 3 AS INTEGER) AS item_count,
+        | CAST(3 + p + p // 3 AS INTEGER) AS json_items,
+        | TRUE AS json_url_ok
+        |FROM s ORDER BY url""".stripMargin,
+
+    "q42_pdf_extract" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INTEGER) AS nl FROM documents)
+        |SELECT doc_id, nl AS n_lines, CAST(ceil(nl / 12.0) AS INTEGER) AS n_pages,
+        | CAST(length(text) AS INTEGER) AS extracted_chars, TRUE AS roundtrip_ok
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // PdfLayout clusters a page's evenly-spaced line grid into ONE text
+    // block, so item_count == page_count on this synthetic corpus
+    "q43_pdf_pipeline" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INTEGER) AS nl FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(ceil(nl / 12.0) AS INTEGER) AS page_count,
+        | CAST(ceil(nl / 12.0) AS INTEGER) AS item_count,
+        | TRUE AS covered
+        |FROM s ORDER BY url""".stripMargin,
   )
 }

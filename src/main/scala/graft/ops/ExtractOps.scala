@@ -7,22 +7,37 @@ import graft.textkit._
 
 /** Extraction-domain operators exposed as queries. These are the engine's
   * own semantics (HTML parse, transform battery, markdown render, audit,
-  * glyph spacing repair, multimodal plumbing) — not SQL-expressible, so the
-  * driver records rows-only checks; byte-level correctness is pinned by the
-  * golden tests instead.
+  * glyph spacing repair, multimodal plumbing). Every query here is
+  * oracle-checkable: outputs are either (a) closed-form recomputable in
+  * DuckDB from the driver parquet (the synthetic wrappers below are built so
+  * item/page/length counts have exact closed forms), or (b) engine-verified
+  * invariants that must equal an exact constant (the reference's own
+  * acceptance invariants: full token coverage, successful round trips).
   */
 object ExtractOps {
   /** Deterministic HTML wrapper for a driver-provided document row: the
     * text becomes paragraphs/headings, boilerplate noise is added, so the
-    * full extraction stack runs over driver data. */
+    * full extraction stack runs over driver data.
+    *
+    * Structure (closed form used by the DuckDB oracles): with
+    * W = words(text), P = ceil(W/12) paragraphs, H = floor(P/3) headings,
+    * parsed items = nav + h1 + P + H + footer = 3 + P + H (the nav/footer
+    * link blocks become furniture via the link-density rule), 1 page.
+    */
   def htmlFromText(docId: Long, text: String, lang: String): String = {
-    val words = text.split(" ")
     val sb = new StringBuilder
     sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
     sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
     sb ++= s"""<div class="page" data-page-height="800">"""
     sb ++= s"<h1>Document $docId</h1>"
-    // paragraphs of 12 words; every third group gets a heading
+    appendBody(sb, text, lang)
+    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
+    sb.result()
+  }
+
+  /** Paragraphs of 12 words; every third group gets a heading. */
+  private def appendBody(sb: StringBuilder, text: String, lang: String): Unit = {
+    val words = text.split(" ")
     var i = 0
     var para = 0
     while (i < words.length) {
@@ -32,37 +47,104 @@ object ExtractOps {
       i += 12
       para += 1
     }
+  }
+
+  /** q31 wrapper: htmlFromText plus, for doc_id % 5 == 0, one constant 3x3
+    * table (header + 2 numeric rows) right after the h1 — so the audit's
+    * table/numeric-recall battery does real work with a closed-form oracle. */
+  def htmlWithTable(docId: Long, text: String, lang: String): String = {
+    val sb = new StringBuilder
+    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
+    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
+    sb ++= s"""<div class="page" data-page-height="800">"""
+    sb ++= s"<h1>Document $docId</h1>"
+    if (docId % 5 == 0)
+      sb ++= ("<table><tr><th>metric</th><th>q1</th><th>q2</th></tr>" +
+        "<tr><td>revenue</td><td>101</td><td>202</td></tr>" +
+        "<tr><td>cost</td><td>11</td><td>22</td></tr></table>")
+    appendBody(sb, text, lang)
     sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
     sb.result()
   }
 
+  /** q39 wrapper: htmlFromText plus, for doc_id % 4 == 0, three identical
+    * low-link-density junk blocks of 14 chars. The standard parse config
+    * (minContentChars=8) keeps them -> repeated-line quality penalty; the
+    * aggressive config (minContentChars=16) drops them -> the probe must
+    * pick "aggressive" for exactly these documents. */
+  def htmlWithJunk(docId: Long, text: String, lang: String): String = {
+    val sb = new StringBuilder
+    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
+    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
+    sb ++= s"""<div class="page" data-page-height="800">"""
+    sb ++= s"<h1>Document $docId</h1>"
+    // full 12-word chunks only: a short tail paragraph would be a "short
+    // line" quality penalty and break the closed-form probe scores
+    val words = text.split(" ")
+    appendBody(sb, words.take(words.length / 12 * 12).mkString(" "), lang)
+    if (docId % 4 == 0)
+      for (_ <- 0 until 3) sb ++= "<p><a href='#'>b</a> uy item nowq</p>"
+    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
+    sb.result()
+  }
+
+  /** q36 wrapper: words in pages of 12, each page carrying 3 unique sentinel
+    * tokens zq{doc}x{page}n{j} — per-page token coverage then has an exact
+    * closed form when sentinels are dropped from the rendered side. */
+  def htmlPaged(docId: Long, text: String): String = {
+    val words = text.split(" ")
+    val sb = new StringBuilder
+    sb ++= "<html><body>"
+    var p = 0
+    while (p * 12 < words.length) {
+      sb ++= """<div class="page" data-page-height="800">"""
+      sb ++= s"<p>${words.slice(p * 12, p * 12 + 12).mkString(" ")}</p>"
+      for (j <- 0 until 3) sb ++= s"<p>zq${docId}x${p + 1}n$j</p>"
+      sb ++= "</div>"
+      p += 1
+    }
+    sb ++= "</body></html>"
+    sb.result()
+  }
+
+  private def srcDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"), col("lang"))
+
   /** Flagship: full extraction pipeline over the documents table wrapped in
-    * HTML. One shuffle (bucket repartition), parse in mapPartitions. */
+    * HTML. One shuffle (bucket repartition), parse in mapPartitions; the
+    * `covered` invariant re-audits every output against its source text. */
   def extractDocuments(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pages = s.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id", $"text", $"lang")
+    val pages = srcDocs(s, dir)
       .as[(Long, String, String)]
       .map { case (id, text, lang) =>
         (s"doc://$id", htmlFromText(id, text, lang).getBytes("UTF-8"), text, lang)
       }
       .toDF("url", "html", "text", "lang")
+    val coveredU = udf((md: String, srcText: String) =>
+      Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
     Pipeline.extract(s, pages, numBuckets = 16)
       .toDF()
+      .join(pages.select($"url", $"text".as("src_text")), "url")
       .select($"url", $"page_count", $"item_count", $"table_count",
-        length($"markdown").as("md_chars"), length($"text").as("text_chars"))
+        length($"src_text").as("src_chars"),
+        coveredU($"markdown", $"src_text").as("covered"))
       .orderBy($"url")
   }
 
-  /** Audit metrics over the synthetic corpus extraction (self-audit: the
-    * rendered markdown must fully cover its own item tree). */
-  def auditSynthetic(s: SparkSession, n: Int = 64): DataFrame = {
+  /** Audit metrics over driver documents (HTML wrap -> parse -> transforms ->
+    * render -> audit). Every one of the 15 fields has a closed-form oracle;
+    * coverage/recall must come out exactly 1.0 (the reference's own
+    * acceptance invariant for a lossless extraction). */
+  def auditDriverDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.createDataset(0L until n.toLong)
-      .map { i =>
-        val dirty = graft.sources.SyntheticPages.dirtyDoc(42L, i)
-        val html = graft.sources.SyntheticPages.htmlFor(dirty, 42L, i)
-        val parsed = HtmlExtract.parse(dirty.url, html)
+    srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        // single-char words can legitimately trip the spaced-text detector
+        // ("xx y zz" with an uncommon middle) — drop them so the audit
+        // counters have exact closed forms; the oracle filters identically
+        val clean = text.split(" ").filter(_.length >= 2).mkString(" ")
+        val parsed = HtmlExtract.parse(s"doc://$id", htmlWithTable(id, clean, lang))
         val (doc, _) = DocTransforms.applyAll(parsed)
         val md = MarkdownRender.render(doc)
         graft.audit.Audit.auditDocVsMarkdown(doc, md)
@@ -71,19 +153,45 @@ object ExtractOps {
       .orderBy($"url")
   }
 
-  /** Spacing predicate battery over driver documents (UDF surface). */
+  /** Spacing predicate battery: deterministic damage classes over driver
+    * documents (doc_id mod 7 selects the damage; the oracle recomputes the
+    * class, so the predicates are verified on both damaged and clean text),
+    * plus the markdown quality scorer over a synthesized multi-line probe
+    * with a closed-form score. */
   def spacingFlags(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val spacedU = udf((t: String) => Predicates.isSpacedText(t))
-    val multiU = udf((t: String) => Predicates.isMultiSpaceText(t))
-    val collapsedU = udf((t: String) => Predicates.isCollapsedText(t))
-    val qualityU = udf((t: String) => Quality.scoreMarkdown(t).score)
-    s.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id",
-        spacedU($"text").as("is_spaced"),
-        multiU($"text").as("is_multi_space"),
-        collapsedU($"text").as("is_collapsed"),
-        qualityU($"text").as("quality_score"))
+    srcDocs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val cls = (id % 7).toInt
+        // sanitized base: natural single-char words could trip the spaced
+        // detector on their own ("xx y zz"), breaking the class oracle; the
+        // damage boundary is word-aligned so no stray single letters appear
+        val bw = text.split(" ").filter(_.length >= 2)
+        val base = bw.mkString(" ")
+        val probe = cls match {
+          case 0 => (bw.take(8).mkString("").map(_.toString).mkString(" ") +
+            " " + bw.drop(8).mkString(" ")).trim           // letter-spaced head
+          case 1 => (bw.take(20).mkString("") + " " +
+            bw.drop(20).mkString(" ")).trim                // run-on head
+          case 2 => base.replaceFirst(" ", "  ")           // double space
+          case _ => base
+        }
+        // quality probe: full 10-word lines (a partial tail line could be an
+        // accidental "short line") + (id%3) short lines + (id%2==0: one
+        // tripled junk line) -> score = 100 - 5*(id%3) - 2*[id%2==0]
+        val words = text.split(" ")
+        val mdLines = words.grouped(10).filter(_.length == 10)
+          .map(_.mkString(" ")).toBuffer
+        for (_ <- 0L until (id % 3)) mdLines += "x y"
+        if (id % 2 == 0) for (_ <- 0 until 3) mdLines += "tripled junk line"
+        val q = Quality.scoreMarkdown(mdLines.mkString("\n"))
+        (id, cls, Predicates.isSpacedText(probe), Predicates.isMultiSpaceText(probe),
+          Predicates.isCollapsedText(probe),
+          Predicates.isSpacedText(probe) || Predicates.isCollapsedText(probe),
+          q.score, q.shortLineCount, q.repeatedLineCount)
+      }
+      .toDF("doc_id", "cls", "is_spaced", "is_multi_space", "is_collapsed",
+        "needs_fix", "quality_score", "short_lines", "repeated_lines")
       .orderBy($"doc_id")
   }
 
@@ -92,7 +200,7 @@ object ExtractOps {
     * 2-means reconstruction kernel per row, verify round trip. */
   def glyphRepair(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    srcDocs(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
         val phrase = text.take(80)
@@ -113,45 +221,53 @@ object ExtractOps {
     * The decode step is a STUB (no image/audio codecs in this environment):
     * a deterministic fake header parse + byte-histogram features. The Spark
     * shape — binary column, batched mapPartitions, fixed-width feature
-    * vector — is the real, tested part. */
+    * vector — is the real, tested part; a real deployment swaps an actual
+    * codec into the marked block with the same schema and batching.
+    * Features are integer-exact so the oracle recomputes them bit-for-bit. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    srcDocs(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val media = Option(text).getOrElse("").getBytes("UTF-8") // stands in for image/audio bytes
           // STUB decode: fake header = (width, height) from first bytes.
-          // A real deployment swaps in an actual codec here; the schema,
-          // batching, and feature shape stay identical.
           val width = if (media.isEmpty) 1 else 1 + (media(0) & 0x7F)
           val height = if (media.isEmpty) 1 else 1 + (media(media.length / 2) & 0x7F)
           val hist = new Array[Long](8)
           var i = 0
           while (i < media.length) { hist((media(i) & 0xFF) / 32) += 1; i += 1 }
-          val total = media.length.toDouble
-          var entropy = 0.0
-          for (h <- hist if h > 0) {
-            val p = h / total
-            entropy -= p * math.log(p) / math.log(2)
-          }
-          (id, media.length, width, height, hist, math.rint(entropy * 1e6) / 1e6)
+          val sumsq = hist.map(h => h * h).sum
+          (id, media.length, width, height,
+            hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7), sumsq)
         }
       }
-      .toDF("doc_id", "n_bytes", "width", "height", "byte_hist", "entropy")
+      .toDF("doc_id", "n_bytes", "width", "height",
+        "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7", "sumsq")
       .orderBy($"doc_id")
   }
 
-  /** Cell-clean chain applied distributed over a generated dirty-cell table
-    * (the reference fixture battery cross-joined with driver doc ids). */
+  /** The reference cell-clean fixture battery (tests/unit/test_table_fixes.py)
+    * applied distributed; the oracle pins the expected clean forms as a
+    * VALUES table transcribed from the reference's own unit fixtures. */
+  val CleanCellFixtures: Seq[(String, String, Boolean)] = Seq(
+    ("84 % 84 %", "84%", false),
+    ("42 42.916.476", "42.916.476", false),
+    ("1 234.567", "1.234.567", false),
+    ("ƒ^+%", "Δ%", false),
+    ("78. RON 78.947.449", "RON 78.947.449", false),
+    ("168.506.901 RON", "RON 168.506.901", false),
+    ("153.689.723 RON 153.689.723 RON", "RON 153.689.723", false),
+    ("- 45,40%", "-45,40%", false),
+    ("EUR ( 420 )", "EUR (420)", false),
+    ("31/12/20 31/12/2024", "31/12/2024", false),
+    ("EUR .961.31", "EUR .961.31", true))
+
   def cleanCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cleanU = udf((t: String) => CellClean.cleanTableCellText(t))
     val suspectU = udf((t: String) => CellClean.isSuspectCurrencyCell(t))
-    val dirtyCells = Seq(
-      "84 % 84 %", "42 42.916.476", "1 234.567", "ƒ^+%", "78. RON 78.947.449",
-      "168.506.901 RON", "153.689.723 RON 153.689.723 RON", "- 45,40%",
-      "EUR ( 420 )", "31/12/20 31/12/2024", "EUR .961.31").zipWithIndex
+    val dirtyCells = CleanCellFixtures.map(_._1).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     s.createDataset(dirtyCells).toDF("cell_id", "dirty")
       .select($"cell_id", $"dirty", cleanU($"dirty").as("clean"),
@@ -159,32 +275,43 @@ object ExtractOps {
       .orderBy($"cell_id")
   }
 
-  /** Worst-pages top-k: per-(url,page) audit, rank ascending by coverage,
-    * keep the 5 weakest pages per doc (window over audit rows). */
-  def worstPages(s: SparkSession, n: Int = 64, k: Int = 5): DataFrame = {
+  /** Worst-pages top-k over driver documents: pages of 12 words + 3 unique
+    * sentinels; sentinels are dropped from the RENDERED side on damaged
+    * pages ((doc_id + page) % 3 == 0), so per-page token coverage is exactly
+    * (w_p + kept) / (w_p + 3) — closed form. Exercises the renderer, the
+    * positional markdown page zip, and the audit window rank. */
+  def worstPages(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val audits = s.createDataset(0L until n.toLong)
-      .flatMap { i =>
-        val dirty = graft.sources.SyntheticPages.dirtyDoc(42L, i)
-        val html = graft.sources.SyntheticPages.htmlFor(dirty, 42L, i)
-        val parsed = HtmlExtract.parse(dirty.url, html)
-        val (doc, _) = DocTransforms.applyAll(parsed)
-        val md = MarkdownRender.postProcess(MarkdownRender.render(doc))
+    val audits = srcDocs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val doc = HtmlExtract.parse(s"doc://$id", htmlPaged(id, text))
+        val damaged = doc.copy(items = doc.items.filterNot { i =>
+          (id + i.pageNo) % 3 == 0 && i.text != null &&
+            (i.text == s"zq${id}x${i.pageNo}n1" || i.text == s"zq${id}x${i.pageNo}n2")
+        })
+        val md = MarkdownRender.render(damaged)
         graft.audit.Audit.auditPerPage(doc, md)
       }.toDF()
     val w = Window.partitionBy($"url").orderBy($"tokenCoverage".asc, $"pageNo".asc)
     audits.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
-      .select($"url", $"pageNo", round($"tokenCoverage", 6).as("token_coverage"), $"rank")
+      .select($"url", $"pageNo".as("page_no"),
+        round($"tokenCoverage", 6).as("token_coverage"), $"rank")
       .orderBy($"url", $"rank")
   }
 
-  /** OCR merge flow over synthesized (base, ocr) doc pairs: suspect numeric
-    * cells and spaced cells replaced per the reference acceptance rules. */
-  def ocrMerge(s: SparkSession, n: Int = 200): DataFrame = {
+  /** OCR merge flow over synthesized (base, ocr) doc pairs. doc_id mod 3
+    * selects the numeric-cell scenario so all three acceptance rules of
+    * shouldReplaceNumericCell (table_fixes.py:548-583) are exercised:
+    *   0 -> OCR digits longer + endswith base   -> replaced
+    *   1 -> currency mismatch (EUR vs RON)      -> rejected
+    *   2 -> OCR digits not longer               -> rejected
+    * The spaced-cell repair (merge in spacedMode) applies to every pair. */
+  def ocrMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.createDataset(0L until n.toLong).map { i =>
+    srcDocs(s, dir).select($"doc_id").as[Long].map { i =>
+      val cls = (i % 3).toInt
       val cell = graft.model.TableCell(1, 2, 0, 1, 1, 1, "RON 71.371",
         columnHeader = false, rowHeader = false, rowSection = false, fillable = false,
         bbox = Some(graft.model.Bbox(0, 0, 50, 10, graft.model.Bbox.TopLeft)))
@@ -195,14 +322,19 @@ object ExtractOps {
           graft.model.ContentLayer.Body, 1, None, "",
           Some(graft.model.TableData(2, 2, cells)))),
         Array(graft.model.PageDim(1, 0, 800)))
+      val ocrNumeric = cls match {
+        case 0 => "RON 471.371"
+        case 1 => "EUR 471.371"
+        case _ => "RON 71.371"
+      }
       val base = doc(Array(cell, spacedCell))
-      val ocr = doc(Array(cell.copy(text = "RON 471.371"),
+      val ocr = doc(Array(cell.copy(text = ocrNumeric),
         spacedCell.copy(text = "financiar " + i)))
       val (m1, suspectReplaced) = DocTransforms.mergeTableCellsWithOcr(base, ocr, spacedMode = false)
       val (_, spacedReplaced) = DocTransforms.mergeTableCellsWithOcr(m1, ocr, spacedMode = true)
       val repaired = DocTransforms.countSuspectTableCells(m1)
-      (i, suspectReplaced, spacedReplaced, repaired)
-    }.toDF("pair_id", "suspect_replaced", "spaced_replaced", "suspect_after")
+      (i, cls, suspectReplaced, spacedReplaced, repaired)
+    }.toDF("pair_id", "cls", "suspect_replaced", "spaced_replaced", "suspect_after")
       .orderBy($"pair_id")
   }
 
@@ -211,7 +343,7 @@ object ExtractOps {
   def spacingFixFlow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.textkit.SpacingRepair.Glyph
-    s.read.parquet(s"$dir/documents.parquet")
+    srcDocs(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .map { case (id, text) =>
         val phrase = text.split(" ").take(6).mkString(" ")
@@ -234,32 +366,39 @@ object ExtractOps {
         val (fixed, report) = graft.extract.SpacingFix.fixSpacedItems(
           doc, Map(1 -> glyphs), pages)
         val out = fixed.items(0).table.get.cells(0).text
-        (id, pages.map(_.size).getOrElse(-1), report.tableCells, out == phrase)
-      }.toDF("doc_id", "damaged_pages", "cells_repaired", "recovered")
+        (id, pages.map(_.size).getOrElse(-1), report.tableCells, out == phrase, phrase.length)
+      }.toDF("doc_id", "damaged_pages", "cells_repaired", "recovered", "phrase_chars")
       .orderBy($"doc_id")
   }
 
-  /** Backend auto-probe: page-1 quality argmax across parse configs. */
-  def backendProbe(s: SparkSession, n: Int = 64): DataFrame = {
+  /** Backend auto-probe over driver documents: page-1 quality argmax across
+    * parse configs. doc_id % 4 == 0 documents carry junk that only the
+    * aggressive config removes -> (chosen, scores) have exact closed forms. */
+  def backendProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.createDataset(0L until n.toLong).map { i =>
-      val doc = graft.sources.SyntheticPages.dirtyDoc(42L, i)
-      val html = graft.sources.SyntheticPages.htmlFor(doc, 42L, i)
-      val (best, scores) = graft.extract.SpacingFix.probeBackend(doc.url, html)
-      (doc.url, best, scores("standard"), scores("aggressive"))
+    srcDocs(s, dir).as[(Long, String, String)].map { case (id, text, lang) =>
+      val (best, scores) = graft.extract.SpacingFix.probeBackend(
+        s"doc://$id", htmlWithJunk(id, text, lang))
+      (s"doc://$id", best, scores("standard"), scores("aggressive"))
     }.toDF("url", "chosen", "score_standard", "score_aggressive")
       .orderBy($"url")
   }
 
-  /** Lossless JSON export of the parsed item tree (export_utils.py:31-37). */
-  def docJson(s: SparkSession, n: Int = 16): DataFrame = {
+  /** Lossless JSON export + round trip of the parsed item tree
+    * (export_utils.py:31-37): to_json, then from_json back, item counts and
+    * the url field must survive. */
+  def docJson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.createDataset((0L until n.toLong).map { i =>
-      val d = graft.sources.SyntheticPages.dirtyDoc(42L, i)
-      (d.url, d)
-    }).toDF("url", "doc")
-      .select($"url", to_json($"doc").as("doc_json"))
-      .withColumn("json_chars", length($"doc_json"))
+    val docSchema = org.apache.spark.sql.Encoders.product[graft.model.Doc].schema
+    srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (s"doc://$id", HtmlExtract.parse(s"doc://$id", htmlFromText(id, text, lang)))
+      }
+      .toDF("url", "doc")
+      .select($"url", size($"doc.items").as("item_count"), to_json($"doc").as("doc_json"))
+      .select($"url", $"item_count",
+        size(from_json($"doc_json", docSchema).getField("items")).as("json_items"),
+        (get_json_object($"doc_json", "$.url") === $"url").as("json_url_ok"))
       .orderBy($"url")
   }
 
@@ -268,7 +407,7 @@ object ExtractOps {
     * reconstruct reading order via the 2-means kernel, verify round trip. */
   def pdfExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
+    srcDocs(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
@@ -278,28 +417,32 @@ object ExtractOps {
           val pdf = graft.extract.SyntheticPdf.pdfFor(pages)
           val extracted = graft.extract.PdfText.extractText(pdf)
           val joined = (1 to pages.length).map(extracted(_)).mkString(" ")
-          (id, pdf.length, pages.length, joined == text)
+          (id, lines.length, pages.length, joined.length, joined == text)
         }
       }
-      .toDF("doc_id", "pdf_bytes", "n_pages", "roundtrip_ok")
+      .toDF("doc_id", "n_lines", "n_pages", "extracted_chars", "roundtrip_ok")
       .orderBy($"doc_id")
   }
 
-  /** Full pipeline over the PDF corpus (content-stream tokenize -> layout
-    * parse -> transforms -> markdown), structural check per doc. */
-  def pdfPipeline(s: SparkSession, n: Int = 128): DataFrame = {
+  /** Full pipeline over a PDF corpus built from driver documents
+    * (content-stream tokenize -> layout parse -> transforms -> markdown),
+    * with the same coverage invariant as the HTML flagship. */
+  def pdfPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pages = s.createDataset((0L until n.toLong).map { i =>
-      val (pdf, expected) = graft.sources.SyntheticPdfPages.pdfDoc(42L, i)
-      (expected.url, pdf, "", "ro", expected.items.length, expected.pages.length)
-    }).toDF("url", "html", "text", "lang", "expected_items", "expected_pages")
-    val extracted = Pipeline.extract(s, pages.select($"url", $"html", $"text", $"lang"),
-      numBuckets = 16).toDF()
-    extracted.join(pages.select($"url", $"expected_items", $"expected_pages"), "url")
-      .select($"url", $"item_count", $"expected_items", $"page_count", $"expected_pages",
-        ($"item_count" === $"expected_items" && $"page_count" === $"expected_pages")
-          .as("structure_ok"),
-        length($"markdown").as("md_chars"))
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val words = text.split(" ")
+        val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+        val pdfPages = lines.grouped(12).map(_.toSeq).toSeq
+        (s"doc://$id", graft.extract.SyntheticPdf.pdfFor(pdfPages), text, lang)
+      }
+      .toDF("url", "html", "text", "lang")
+    val coveredU = udf((md: String, srcText: String) =>
+      Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
+    Pipeline.extract(s, pages, numBuckets = 16).toDF()
+      .join(pages.select($"url", $"text".as("src_text")), "url")
+      .select($"url", $"page_count", $"item_count",
+        coveredU($"markdown", $"src_text").as("covered"))
       .orderBy($"url")
   }
 }

@@ -222,23 +222,31 @@ object Ops {
   def minhashA(j: Int): Long = 2L * j + 3
   def minhashB(j: Int): Long = 5L * j + 7
 
-  /** MinHash signatures over distinct word-3-gram shingles. */
-  def q17MinhashSignatures(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered minhash signature core shared by q17/q18. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val toks = ngrams3(s, dir)
       .select($"doc_id", polyhash($"ng").as("h"))
     val aggs = (0 until MinhashK).map { j =>
       min(pmod(lit(minhashA(j)) * $"h" + lit(minhashB(j)), lit(MinhashP))).as(s"sig_$j")
     }
-    toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
+    toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: 4 bands x 2 rows — bucket join, not cross join. */
+  /** MinHash signatures over distinct word-3-gram shingles. */
+  def q17MinhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSig(s, dir).orderBy($"doc_id")
+
+  /** LSH candidate pairs: 4 bands x 2 rows — bucket join, not cross join.
+    * Bands are emitted via one posexplode over the signature row, so the
+    * whole signature pipeline (scan -> shingle -> hash -> agg) runs ONCE
+    * (round-1 built them as a 4-way union that recomputed it 4x). */
   def q18MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = q17MinhashSignatures(s, dir)
-    val bands = (0 until MinhashK by 2).map { j =>
-      sig.select($"doc_id", lit(j / 2).as("band"),
-        concat_ws(":", col(s"sig_$j"), col(s"sig_${j + 1}")).as("bkey"))
-    }.reduce(_ unionAll _)
+    val bandCols = (0 until MinhashK by 2).map { j =>
+      concat_ws(":", col(s"sig_$j"), col(s"sig_${j + 1}"))
+    }
+    val bands = minhashSig(s, dir)
+      .select($"doc_id", posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bkey")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -249,9 +257,8 @@ object Ops {
 
   val SimhashBits = 16
 
-  /** SimHash over distinct word-3-gram shingle hashes (16-bit for oracle
-    * portability; the same shape extends to 64-bit). */
-  def q19Simhash(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered simhash core shared by q19/q20. */
+  private def simhashCore(s: SparkSession, dir: String): DataFrame = {
     val toks = ngrams3(s, dir)
       .select($"doc_id", polyhash($"ng").as("h"))
     val votes = (0 until SimhashBits).map { j =>
@@ -261,17 +268,45 @@ object Ops {
     val sim = (0 until SimhashBits).map { j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    voted.select($"doc_id", sim.as("simhash")).orderBy($"doc_id")
+    voted.select($"doc_id", sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs by Hamming distance <= 3. */
-  def q20SimhashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    val sh = q19Simhash(s, dir)
-    sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+  /** SimHash over distinct word-3-gram shingle hashes (16-bit for oracle
+    * portability; q28/q29 are the production 64-bit width). */
+  def q19Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashCore(s, dir).orderBy($"doc_id")
+
+  /** SimHash near-dup pairs by Hamming distance <= maxDist.
+    * Pigeonhole banding instead of an O(n^2) self-join: split the hash into
+    * maxDist+1 disjoint chunks — any pair within Hamming maxDist agrees on at
+    * least one chunk — and equi-join on (chunk index, chunk value), then
+    * verify the exact distance. Identical output to the naive cross join;
+    * shuffle is a bucket join, which is the 100 TB shape. */
+  def q20SimhashPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    simhashBandedPairs(simhashCore(s, dir), $"simhash", bits = SimhashBits, maxDist = maxDist)
+
+  /** Banded Hamming pair search shared by the 16-bit (q20) and 64-bit (q29)
+    * widths. `bits` must be divisible by maxDist+1 chunks only approximately:
+    * chunk boundaries are ceil-split so all bits are covered. */
+  private[ops] def simhashBandedPairs(sh: DataFrame, hashCol: Column,
+                                      bits: Int, maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val width = (bits + nChunks - 1) / nChunks
+    val mask = (1L << width) - 1
+    val chunkCols = (0 until nChunks).map { c =>
+      shiftright(hashCol, c * width).bitwiseAND(lit(mask))
+    }
+    val chunks = sh.select(col("doc_id"), hashCol.as("sh"),
+        posexplode(array(chunkCols: _*)))
+      .toDF("doc_id", "sh", "chunk", "cval")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .filter($"hamming" <= maxDist)
-      .orderBy($"id_a", $"id_b")
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ---- similarity search over embeddings ------------------------------------
@@ -308,12 +343,16 @@ object Ops {
 
   /** Scale-path ANN: sign-LSH bucketing on deterministic pseudo-random
     * hyperplanes (seeded per (plane, dim) — no RNG state), then top-k within
-    * bucket only. Trades recall for a bucket join instead of a cross join. */
+    * bucket only. Trades recall for a bucket join instead of a cross join.
+    * Plane components are INTEGER-valued (an LCG over the (plane, dim) index)
+    * so the dot product is bit-identical across engines — round 1 used
+    * sin(p*64+i), whose libm results are not portable to the oracle. */
   def q23CosineLshTopK(s: SparkSession, dir: String, planes: Int = 6, k: Int = 5): DataFrame = {
     val v = vecsD(s, dir).withColumn("nrm", expr(normExpr))
-    // hyperplane component (p, i) = sin(p * 64 + i) — deterministic, portable
     val sigCols = (0 until planes).map { p =>
-      val dot = expr(s"aggregate(zip_with(v, sequence(0, 63), (a, i) -> a * sin($p * 64 + i)), 0D, (s, e) -> s + e)")
+      val dot = expr(s"aggregate(zip_with(v, sequence(0, 63), (a, i) -> " +
+        s"a * CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i + 1) + 12345) % 1024 - 512 AS DOUBLE)), " +
+        s"0D, (s, e) -> s + e)")
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bucketed = v.withColumn("bucket", sigCols)
@@ -343,16 +382,19 @@ object Ops {
     * vocabulary corpora. Same relational shape as q15, skew-pruned. */
   def q25NgramJaccardPruned(s: SparkSession, dir: String, threshold: Double = 0.08,
                             maxDocFreq: Int = 50): DataFrame = {
+    // cached: ng feeds the doc-freq count AND the prune join; pruned feeds
+    // the size agg and both pair-join sides (round 1 recomputed it 3x)
     val ng = documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
       .distinct()
+      .cache()
     val rare = ng.groupBy($"ng").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDocFreq)
       .select($"ng")
-    val pruned = ng.join(rare, "ng")
+    val pruned = ng.join(rare, "ng").cache()
     val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n_ng"))
     val inter = pruned.as("x").join(pruned.as("y"), col("x.ng") === col("y.ng") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -381,58 +423,44 @@ object Ops {
       .orderBy($"user_id")
 
 
-  /** IVF ANN scale path: deterministic k-means coarse quantizer (seeded init
-    * from the first k vectors, fixed 5 Lloyd iterations — no RNG), vectors
-    * assigned to their nearest centroid cell, top-k search probes only the
-    * nprobe nearest cells. Centroids are tiny -> broadcast; the probe join is
-    * a cell-key equi-join, never a cross join. */
-  def q27CosineIvfTopK(s: SparkSession, dir: String, k: Int = 5,
-                       cells: Int = 16, nprobe: Int = 2): DataFrame = {
-    import s.implicits._
-    val vecs = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, e) => (id, e.map(_.toDouble).toArray) }
-      .collect() // small at test SF; at scale: sample for training, then broadcast centroids
-    if (vecs.isEmpty)
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sim", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType))))
-    val dim = vecs.head._2.length
-    val nCells = math.min(cells, vecs.length)
-    // deterministic k-means
-    var centroids = vecs.sortBy(_._1).take(nCells).map(_._2.clone())
-    for (_ <- 0 until 5) {
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Long](nCells)
-      for ((_, v) <- vecs) {
-        val c = nearestCell(v, centroids, 1).head
-        counts(c) += 1
-        var d = 0
-        while (d < dim) { sums(c)(d) += v(d); d += 1 }
-      }
-      centroids = Array.tabulate(nCells) { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
+  /** Deterministic IVF codebook: cell c, dim d -> an LCG-derived rational in
+    * [-0.5, 0.5] with a power-of-two denominator, so every component is an
+    * exactly-representable double on any engine. */
+  def ivfCodebook(cells: Int = 16, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until cells).map { c =>
+      (0 until dim).map { d =>
+        ((2654435761L * (c * dim + d) + 40503L) % 257 - 128).toDouble / 256.0
       }
     }
-    val bc = s.sparkContext.broadcast(centroids)
 
-    val assigned = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, e) =>
-        val v = e.map(_.toDouble).toArray
-        val cell = nearestCell(v, bc.value, 1).head
-        val nrm = math.sqrt(v.map(x => x * x).sum)
-        (id, cell, v, nrm)
-      }.toDF("vec_id", "cell", "v", "nrm")
+  /** IVF ANN scale path: vectors are assigned to their nearest codebook cell
+    * (16 cells, broadcast as a literal — nothing is ever collected to the
+    * driver), top-k search probes only the `nprobe` nearest cells. The probe
+    * join is a cell-key equi-join, never a cross join. The codebook here is a
+    * fixed deterministic one (portable to the oracle); `trainIvfCentroids`
+    * below is the production k-means refinement over a BOUNDED sample. */
+  def q27CosineIvfTopK(s: SparkSession, dir: String, k: Int = 5,
+                       cells: Int = 16, nprobe: Int = 2): DataFrame =
+    ivfTopK(vecsD(s, dir), ivfCodebook(cells), k, nprobe)
 
-    val probes = embeddings(s, dir).select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .flatMap { case (id, e) =>
-        val v = e.map(_.toDouble).toArray
-        nearestCell(v, bc.value, nprobe).map(c => (id, c))
-      }.toDF("q_id", "cell")
-
+  /** IVF search given any codebook (fixed or k-means-trained). */
+  def ivfTopK(vecs: DataFrame, codebook: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
+    val v = vecs.withColumn("nrm", expr(normExpr))
+    val s = vecs.sparkSession
+    import s.implicits._
+    val cent = broadcast(codebook.zipWithIndex
+      .map { case (cv, c) => (c, cv) }.toDF("cell", "cv"))
+    // distance to every cell (codebook is tiny: a broadcast cross join),
+    // ranked per vector with a deterministic (dist, cell) tiebreak
+    val wDist = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell").asc)
+    val ranked = v.crossJoin(cent)
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (s, e) -> s + e)"))
+      .withColumn("crank", row_number().over(wDist))
+      .filter(col("crank") <= nprobe)
+    val assigned = ranked.filter(col("crank") === 1)
+      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    val probes = ranked.select(col("vec_id").as("q_id"), col("cell"))
     val qside = assigned.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val pairs = probes.join(assigned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
@@ -445,14 +473,53 @@ object Ops {
       .filter(col("rank") <= k)
       .select(col("q_id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
+    // no dedup needed: each candidate lives in exactly one cell, so a query's
+    // nprobe distinct probe cells can each contribute it at most once total
   }
+
+  /** Production IVF training: deterministic k-means (seeded init, fixed Lloyd
+    * iterations) over a BOUNDED sample — only `sampleN` vectors ever reach the
+    * driver, regardless of table size; centroids are then broadcast. */
+  def trainIvfCentroids(vecs: DataFrame, cells: Int = 16, iters: Int = 5,
+                        sampleN: Int = 4096): Seq[Seq[Double]] = {
+    import vecs.sparkSession.implicits._
+    val sample = vecs.select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .limit(sampleN).as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    if (sample.isEmpty) return ivfCodebook(cells)
+    val dim = sample.head.length
+    val nCells = math.min(cells, sample.length)
+    var centroids = sample.take(nCells).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      for (v <- sample) {
+        val c = nearestCell(v, centroids, 1).head
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** 64-bit simhash near-dup pairs via pigeonhole banding (4 x 16-bit
+    * chunks): the production-width companion of q20. */
+  def q29Simhash64Pairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    simhashBandedPairs(simhash64Core(s, dir).withColumnRenamed("simhash64", "simhash"),
+      col("simhash"), bits = 64, maxDist = maxDist)
 
 
   /** 64-bit SimHash (the production width; q19's 16-bit variant exists for
     * oracle portability). Four derived hash views contribute 16 genuinely
     * varying bits each — polyhash < 2^30 means its high bits are constant,
     * so bits must come from the LOW 16 of each derived value. */
-  def q28Simhash64(s: SparkSession, dir: String): DataFrame = {
+  def q28Simhash64(s: SparkSession, dir: String): DataFrame =
+    simhash64Core(s, dir).orderBy($"doc_id")
+
+  private def simhash64Core(s: SparkSession, dir: String): DataFrame = {
     val toks = ngrams3(s, dir).select($"doc_id", polyhash($"ng").as("h"))
     val views = (0 until 4).map { k =>
       pmod(lit(2L * k + 3) * $"h" + lit(7L * k + 11), lit(MinhashP))
@@ -463,7 +530,7 @@ object Ops {
     val voted = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
     val sim = (0 until 64).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    voted.select($"doc_id", sim.as("simhash64")).orderBy($"doc_id")
+    voted.select($"doc_id", sim.as("simhash64"))
   }
 
   /** nearest `n` centroid indices by L2 (deterministic tiebreak on index). */

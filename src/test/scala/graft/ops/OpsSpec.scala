@@ -89,10 +89,10 @@ class OpsSpec extends AnyFunSuite {
     val rows = ExtractOps.multimodalFeatures(spark, sf).collect()
     assert(rows.length == 500)
     for (r <- rows.take(20)) {
-      val hist = r.getSeq[Long](r.fieldIndex("byte_hist"))
-      assert(hist.length == 8)
+      val hist = (0 until 8).map(k => r.getAs[Long](s"h$k"))
       assert(r.getAs[Int]("width") > 0 && r.getAs[Int]("height") > 0)
       assert(hist.sum == r.getAs[Int]("n_bytes"))
+      assert(r.getAs[Long]("sumsq") == hist.map(h => h * h).sum)
     }
   }
 
@@ -142,15 +142,35 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     for ((v, n, sim, _) <- ivf1.take(300); bsim <- brute.get((v, n)))
       assert(math.abs(sim - bsim) < 1e-9, s"sim mismatch ($v,$n)")
-    // recall@5 against brute force (probing 2/16 cells keeps most neighbors)
+  }
+
+  test("trained IVF (bounded-sample k-means) beats the fixed codebook on recall") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val trained = Ops.trainIvfCentroids(vecs, cells = 16, iters = 5, sampleN = 4096)
+    assert(trained.length == 16 && trained.head.length == 64)
+    val ivf = Ops.ivfTopK(vecs, trained, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val ivf2 = Ops.ivfTopK(vecs, trained, k = 5, nprobe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.sameElements(ivf2), "nondeterministic trained ivf")
     val bruteTop = Ops.q21CosineTopK(spark, sf, limitIds = 2000).as[(Long, Long, Double, Int)]
       .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivfTop = ivf1.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfTop = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = ivfTop.collect { case (v, ns) if bruteTop.contains(v) =>
       (ns & bruteTop(v)).size.toDouble / bruteTop(v).size
     }
     val meanRecall = recalls.sum / recalls.size
-    assert(meanRecall > 0.3, s"ivf recall too low: $meanRecall")
+    assert(meanRecall > 0.3, s"trained ivf recall too low: $meanRecall")
+    // the fixed-codebook recall for reference (q27's oracle-portable path)
+    val fixedTop = Ops.q27CosineIvfTopK(spark, sf).as[(Long, Long, Double, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fixedRecalls = fixedTop.collect { case (v, ns) if bruteTop.contains(v) =>
+      (ns & bruteTop(v)).size.toDouble / bruteTop(v).size
+    }
+    assert(meanRecall >= fixedRecalls.sum / fixedRecalls.size - 0.05,
+      "training should not lose recall vs the fixed codebook")
   }
 }
 

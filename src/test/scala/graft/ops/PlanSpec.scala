@@ -41,6 +41,26 @@ class PlanSpec extends AnyFunSuite {
     assert(codegenProject.findFirstIn(p).nonEmpty, p.take(1500))
   }
 
+  test("q18 band explode runs the signature pipeline once (single scan per side)") {
+    val df = Ops.q18MinhashLshPairs(spark, sf)
+    df.collect() // finalize the adaptive plan
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count scans
+    // only in the final executed plan
+    val p = plan(df).split("== Initial Plan ==").head
+    // the signature pipeline must run once: one FileScan, the other join
+    // side fed by a ReusedExchange (round 1's unionAll shape had 4 chains)
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"q18 recomputes the signature pipeline: $scans scans")
+    assert(p.contains("ReusedExchange"), "expected the map-side exchange to be reused")
+  }
+
+  test("q20 simhash pairs use a chunk equi-join, not a nested-loop cross join") {
+    val p = plan(Ops.q20SimhashPairs(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("lineitem filter pushdown reaches the parquet reader") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
