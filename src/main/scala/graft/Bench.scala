@@ -59,9 +59,24 @@ object Bench {
     val pagesDF = spark.read.parquet(pagesDir)
     val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "128").toInt
     val fused = sys.env.get("SPARK_GRAFT_BENCH_FUSED").contains("1")
+    // SPARK_GRAFT_FLOW selects conversion-flow knobs for A/B attribution:
+    // off | probe | ocr | spacing | suspect | (unset = all on)
+    val flowOpts = sys.env.getOrElse("SPARK_GRAFT_FLOW", "on") match {
+      case "off" => graft.extract.Pipeline.ExtractOptions(
+        backendAuto = false, ocrMode = "off", spacingFix = false, suspectRepair = false)
+      case "probe" => graft.extract.Pipeline.ExtractOptions(
+        backendAuto = true, ocrMode = "off", spacingFix = false, suspectRepair = false)
+      case "ocr" => graft.extract.Pipeline.ExtractOptions(
+        backendAuto = false, ocrMode = "auto", spacingFix = false, suspectRepair = false)
+      case "spacing" => graft.extract.Pipeline.ExtractOptions(
+        backendAuto = false, ocrMode = "off", spacingFix = true, suspectRepair = false)
+      case "suspect" => graft.extract.Pipeline.ExtractOptions(
+        backendAuto = false, ocrMode = "off", spacingFix = false, suspectRepair = true)
+      case _ => graft.extract.Pipeline.ExtractOptions()
+    }
     def extractCount(): Long =
       graft.extract.Pipeline.extract(spark, pagesDF, numBuckets = numBuckets,
-        shuffle = !fused).count()
+        shuffle = !fused, opts = flowOpts).count()
     extractCount(); extractCount() // JIT/codegen warm-up, untimed
     // best-of-2 to damp host noise (sandbox VM timing jitter)
     val (extracted, sec1) = time(extractCount())

@@ -189,6 +189,16 @@ object DocTransforms {
     (doc.copy(items = items), updated)
   }
 
+  /** countSuspectTableCells with a cheap digit prefilter: a cell with no
+    * digit can never be a suspect currency cell (extractCurrencyNumber
+    * requires a number token), so the 15-step clean chain is skipped for
+    * word-only cells — the per-doc hot path at scale. */
+  def countSuspectTableCellsFast(doc: Doc): Int =
+    doc.items.flatMap(_.table).flatMap(_.cells).count { cell =>
+      cell.text != null && cell.text.exists(_.isDigit) &&
+        CellClean.isSuspectCurrencyCell(CellClean.cleanTableCellText(cell.text))
+    }
+
   /** table_fixes.py:681-692 */
   def countSuspectTableCells(doc: Doc): Int =
     doc.items.flatMap(_.table).flatMap(_.cells).count { cell =>
@@ -300,11 +310,14 @@ object DocTransforms {
     }
 
     // phase 2: spatial-overlap fallback (argmax 0.7*baseCover + 0.3*ocrCover,
-    // accept if baseCover >= 0.5 and ocrCover >= 0.15)
-    val ocrCellsByPage: Map[Int, Array[(Bbox, String)]] = ocrTables.groupBy(_.pageNo).map {
-      case (p, items) =>
-        p -> items.flatMap(_.table.get.cells.flatMap(c => c.bbox.map(b => (b, c.text))))
-    }
+    // accept if baseCover >= 0.5 and ocrCover >= 0.15). The per-OCR-cell
+    // spaced flag is precomputed once — the reference recomputes it inside
+    // the O(baseCells x ocrCells) loop (table_fixes.py:761)
+    val ocrCellsByPage: Map[Int, Array[(Bbox, String, Boolean)]] =
+      ocrTables.groupBy(_.pageNo).map { case (p, items) =>
+        p -> items.flatMap(_.table.get.cells.flatMap(c => c.bbox.map(b =>
+          (b, c.text, c.text != null && c.text.nonEmpty && Predicates.isSpacedText(c.text)))))
+      }
     for ((pos, _) <- baseTables) {
       val item = newItems(pos)
       val ocrCells = ocrCellsByPage.getOrElse(item.pageNo, Array.empty)
@@ -322,8 +335,8 @@ object DocTransforms {
             else {
               var bestText = ""
               var bestScore = 0.0
-              for ((ob, otext) <- ocrCells) {
-                if (otext != null && otext.nonEmpty && !Predicates.isSpacedText(otext)) {
+              for ((ob, otext, ospaced) <- ocrCells) {
+                if (otext != null && otext.nonEmpty && !ospaced) {
                   val inter = KpiAxis.bboxIntersectionArea(bb.l, bb.t, bb.r, bb.b, ob.l, ob.t, ob.r, ob.b)
                   if (inter > 0) {
                     val ocrArea = ob.area

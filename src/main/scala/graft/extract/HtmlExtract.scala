@@ -27,6 +27,41 @@ import scala.collection.mutable
   */
 object HtmlExtract {
 
+  /** Per-text-block boilerplate inputs captured at parse time. The parse
+    * configs (standard/aggressive/ocr) differ ONLY in how they threshold
+    * these, so one parse serves every config via [[applyConfig]] — the
+    * conversion flow's probe and OCR retry cost zero extra parses. */
+  final case class BlockMeta(linkDensity: Double, chars: Int, structural: Boolean)
+
+  /** One parse, config-independent: items carry their pre-boiler label and
+    * Body layer; `meta(i)` is null for non-text items (tables, pictures). */
+  final case class Parsed(doc: Doc, meta: Array[BlockMeta])
+
+  /** Re-derive a config's view: the boilerplate decision per text block
+    * (identical rule to the inline one the parser used to apply). */
+  def applyConfig(parsed: Parsed, linkDensityThreshold: Double,
+                  minContentChars: Int): Doc = {
+    val items = new Array[DocItem](parsed.doc.items.length)
+    var i = 0
+    while (i < items.length) {
+      val item = parsed.doc.items(i)
+      val m = parsed.meta(i)
+      items(i) =
+        if (m == null) item
+        else {
+          val boiler = m.structural ||
+            (m.linkDensity > linkDensityThreshold && m.chars < 200) ||
+            (m.chars < minContentChars && item.label == Label.Text && m.linkDensity > 0)
+          if (!boiler) item
+          else item.copy(
+            label = if (item.label == Label.Text) Label.PageHeader else item.label,
+            contentLayer = ContentLayer.Furniture)
+        }
+      i += 1
+    }
+    parsed.doc.copy(items = items)
+  }
+
   private val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "table", "tr", "td", "th", "thead", "tbody", "section", "article",
@@ -165,8 +200,14 @@ object HtmlExtract {
   /** Parse one HTML document into a Doc. Deterministic, allocation-light. */
   def parse(url: String, html: String,
             linkDensityThreshold: Double = 0.4,
-            minContentChars: Int = 8): Doc = {
+            minContentChars: Int = 8): Doc =
+    applyConfig(parseDetailed(url, html), linkDensityThreshold, minContentChars)
+
+  /** Config-independent parse: text blocks keep their pre-boiler label; the
+    * boilerplate inputs ride in the meta array (see [[applyConfig]]). */
+  def parseDetailed(url: String, html: String): Parsed = {
     val items = mutable.ArrayBuffer.empty[DocItem]
+    val metas = mutable.ArrayBuffer.empty[BlockMeta]
     var pageNo = 1
     var sawPageDiv = false
     var pageHeight = 0.0
@@ -203,16 +244,12 @@ object HtmlExtract {
         if (raw.nonEmpty) {
           val chars = raw.length
           val linkDensity = if (chars == 0) 0.0 else math.min(1.0, block.anchorChars.toDouble / chars)
-          // Boilerpipe-class rule: link-dominated short blocks are boilerplate.
-          val boiler = block.furniture ||
-            (linkDensity > linkDensityThreshold && chars < 200) ||
-            (chars < minContentChars && block.label == Label.Text && linkDensity > 0)
-          val label =
-            if (boiler && block.label == Label.Text) Label.PageHeader // furniture label, filtered out
-            else block.label
-          val layer = if (boiler) ContentLayer.Furniture else ContentLayer.Body
           recordPage()
-          items += DocItem(nextIdx(), ItemKind.Text, label, layer, pageNo, block.bbox, raw, None)
+          // Boilerpipe-class thresholding happens in applyConfig; the raw
+          // item keeps its pre-boiler label and Body layer
+          items += DocItem(nextIdx(), ItemKind.Text, block.label, ContentLayer.Body,
+            pageNo, block.bbox, raw, None)
+          metas += BlockMeta(linkDensity, chars, structural = block.furniture)
         }
       }
       block = null
@@ -243,6 +280,7 @@ object HtmlExtract {
         recordPage()
         items += DocItem(nextIdx(), ItemKind.Table, Label.Table, ContentLayer.Body,
           pageNo, table.bbox, "", Some(TableData(numRows, numCols, cells)))
+        metas += null
       }
     }
 
@@ -353,6 +391,7 @@ object HtmlExtract {
           // it is NOT body text — only the caption pass reads it
           items += DocItem(nextIdx(), ItemKind.Picture, Label.Picture, ContentLayer.Body,
             pageNo, parseBbox(attrs), attrs.getOrElse("data-picture-text", ""), None)
+          metas += null
         case "table" =>
           if (closing) finishTable()
           else { flushBlock(); tableStack += new TableBuf(parseBbox(attrs)) }
@@ -404,6 +443,6 @@ object HtmlExtract {
     flushBlock()
     while (table != null) finishTable() // unterminated tables at EOF
     recordPage()
-    Doc(url, items.toArray, pages.toArray)
+    Parsed(Doc(url, items.toArray, pages.toArray), metas.toArray)
   }
 }

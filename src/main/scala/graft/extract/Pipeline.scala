@@ -22,6 +22,24 @@ import scala.jdk.CollectionConverters._
 object Pipeline {
   val DefaultBuckets = 64
 
+  /** Conversion knobs mirroring the reference CLI defaults
+    * (cli.py:88-140): backend auto-probe ON, ocr_mode OFF, glyph
+    * spacing-fix ON. `ocrMode = "auto"` enables the chars-per-page /
+    * spaced-ratio retry triggers (conversion_utils.py:357-398). */
+  case class ExtractOptions(
+      backendAuto: Boolean = true,
+      ocrMode: String = "off",
+      spacingFix: Boolean = true,
+      suspectRepair: Boolean = true)
+
+  /** The "OCR" parse config for HTML payloads: keep everything (no
+    * boilerplate thresholds), the analog of a forced full-page OCR re-read
+    * that recovers text the first pass dropped. */
+  val OcrParseConfig: SpacingFix.ParseConfig = SpacingFix.ParseConfig("ocr", 2.0, 0)
+  val CharsPerPageOcrTrigger = 200.0
+  /** SPACED_CELL_RATIO_THRESHOLD, conversion_utils.py:70 */
+  val SpacedRatioOcrTrigger = 0.04
+
   case class ExtractedRow(
       url: String,
       bucket: Int,
@@ -34,7 +52,12 @@ object Pipeline {
       changed_cells: Int,
       removed_items: Int,
       md_chars: Long,
-      html_bytes: Long)
+      html_bytes: Long,
+      backend: String,
+      ocr_retried: Boolean,
+      ocr_accepted: Boolean,
+      spacing_fixed: Int,
+      suspect_repaired: Int)
 
   /** Parse + transform + render one document. Pure; called per row inside
     * mapPartitions. */
@@ -42,11 +65,126 @@ object Pipeline {
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
       bytes(3) == 'F' && bytes(4) == '-'
 
+  /** True when any table payload differs by reference between the two docs
+    * (derived config views share table items, so this is O(items)). */
+  private def tablesDiffer(a: Doc, b: Doc): Boolean = {
+    val ta = a.items.iterator.flatMap(_.table).toArray
+    val tb = b.items.iterator.flatMap(_.table).toArray
+    ta.length != tb.length || ta.zip(tb).exists { case (x, y) => !(x eq y) }
+  }
+
+  /** spaced_ratio over non-TOC table cells (conversion_utils.py:367-372). */
+  private def spacedCellRatio(doc: Doc): Double = {
+    var spaced = 0L; var total = 0L
+    for (t <- doc.items.flatMap(_.table); c <- t.cells) {
+      total += 1
+      if (graft.textkit.Predicates.isSpacedText(c.text)) spaced += 1
+    }
+    if (total > 0) spaced.toDouble / total else 0.0
+  }
+
+  /** The reference's full conversion decision flow
+    * (conversion_utils.py:290-517), re-expressed per-row:
+    *
+    *   [a] backend select — page-1 quality probe (auto): a perfect standard
+    *       score short-circuits (argmax with first-wins ties can't change),
+    *       so the second parse is paid only for damaged documents.
+    *   [c] OCR auto-retry on chars_per_page < 200 or spaced_ratio >= 0.04,
+    *       accepted when it halves the spaced ratio or recovers >1.2x text.
+    *   [d] spacing-fix routing — detect damaged pages, repair flagged
+    *       cells/items from glyph geometry (PDF payloads carry glyphs).
+    *   [e] suspect-cell repair — lazily OCR-parse and merge when suspect
+    *       currency cells survive.
+    *   [f] structural/cleaning passes in reference order + markdown render.
+    */
   def extractOne(url: String, htmlBytes: Array[Byte], lang: String,
-                 bucket: Int): ExtractedRow = {
-    val parsed =
-      if (isPdf(htmlBytes)) PdfLayout.buildDoc(url, htmlBytes)
-      else HtmlExtract.parse(url, new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+                 bucket: Int, opts: ExtractOptions = ExtractOptions()): ExtractedRow = {
+    var backend = "pdf-layout"
+    var ocrRetried = false
+    var ocrAccepted = false
+    var parsed: Doc = null
+    var ocrDoc: Option[Doc] = None
+    var glyphs: Map[Int, Seq[graft.textkit.SpacingRepair.Glyph]] = Map.empty
+
+    var detailed: HtmlExtract.Parsed = null
+    if (!isPdf(htmlBytes)) {
+      // ONE parse serves every config: the standard/aggressive/ocr views
+      // differ only in the boilerplate thresholding of captured block meta,
+      // so the probe and the OCR retry re-derive views allocation-light
+      // instead of re-parsing (applyConfig is an array map)
+      val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
+      detailed = HtmlExtract.parseDetailed(url, html)
+      val std = SpacingFix.Backends.head
+      parsed = HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars)
+      backend = std.name
+      if (opts.backendAuto) {
+        // probe shortcut: scoring is capped at 100 and Python max keeps the
+        // first argmax, so a perfect standard page-1 always wins — only
+        // sub-100 documents score the aggressive view
+        val stdScore = SpacingFix.probePage1Score(parsed)
+        if (stdScore < 100) {
+          val agg = SpacingFix.Backends(1)
+          val aggDoc = HtmlExtract.applyConfig(detailed, agg.linkDensityThreshold, agg.minContentChars)
+          if (SpacingFix.probePage1Score(aggDoc) > stdScore) {
+            parsed = aggDoc
+            backend = agg.name
+          }
+        }
+      }
+      if (opts.ocrMode == "auto") {
+        val text = MarkdownRender.renderPlainText(parsed)
+        val charsPerPage = text.length.toDouble / math.max(parsed.pages.length, 1)
+        val ratio = spacedCellRatio(parsed)
+        if (charsPerPage < CharsPerPageOcrTrigger || ratio >= SpacedRatioOcrTrigger) {
+          ocrRetried = true
+          val ocr = HtmlExtract.applyConfig(detailed,
+            OcrParseConfig.linkDensityThreshold, OcrParseConfig.minContentChars)
+          ocrDoc = Some(ocr)
+          val ocrRatio = spacedCellRatio(ocr)
+          // acceptance: conversion_utils.py:387-398
+          if (ocrRatio < ratio * 0.5) { parsed = ocr; ocrAccepted = true }
+          else if (MarkdownRender.renderPlainText(ocr).length > text.length * 1.2) {
+            parsed = ocr; ocrAccepted = true
+          }
+        }
+      }
+    } else {
+      parsed = PdfLayout.buildDoc(url, htmlBytes)
+      // OCR retry is a no-op for the PDF path: our parse IS the glyph read,
+      // so recovery happens through [d]'s glyph reconstruction instead;
+      // glyphs are extracted lazily there, only for flagged documents
+    }
+
+    // [d] spacing-fix routing (conversion_utils.py:400-478); glyph
+    // extraction is paid only for documents with flagged pages
+    var spacingFixed = 0
+    if (opts.spacingFix && isPdf(htmlBytes)) {
+      val pagesToFix = SpacingFix.detectSpacingPages(parsed)
+      if (!pagesToFix.exists(_.isEmpty)) {
+        glyphs = PdfText.extractGlyphs(htmlBytes)
+        val (fixed, report) = SpacingFix.fixSpacedItems(parsed, glyphs, pagesToFix)
+        parsed = fixed
+        spacingFixed = report.tableCells + report.textItems
+      }
+    }
+
+    // [e] suspect-cell OCR repair (conversion_utils.py:480-488). The merge
+    // can only fire when the OCR channel is a genuinely DIFFERENT read: for
+    // HTML payloads the OCR view is a relabeling of the same parse, so its
+    // table cells are reference-identical and shouldReplaceNumericCell(t, t)
+    // is false for every cell — a provable no-op we skip instead of paying
+    // (an external two-channel tree goes through repairDoc + merge instead)
+    var suspectRepaired = 0
+    if (opts.suspectRepair) {
+      val distinctOcr = ocrDoc.filter(o => tablesDiffer(parsed, o))
+      if (distinctOcr.nonEmpty && DocTransforms.countSuspectTableCellsFast(parsed) > 0) {
+        val (merged, n) = DocTransforms.mergeTableCellsWithOcr(parsed, distinctOcr.get,
+          spacedMode = false)
+        parsed = merged
+        suspectRepaired = n
+      }
+    }
+
     val (doc, counters) = DocTransforms.applyAll(parsed)
     val md = MarkdownRender.postProcess(MarkdownRender.render(doc))
     val text = MarkdownRender.renderPlainText(doc)
@@ -65,7 +203,24 @@ object Pipeline {
       removed_items = counters.getOrElse("removed_dates", 0) +
         counters.getOrElse("removed_axis_text", 0),
       md_chars = md.length.toLong,
-      html_bytes = htmlBytes.length.toLong)
+      html_bytes = htmlBytes.length.toLong,
+      backend = backend,
+      ocr_retried = ocrRetried,
+      ocr_accepted = ocrAccepted,
+      spacing_fixed = spacingFixed,
+      suspect_repaired = suspectRepaired)
+  }
+
+  /** Repair stage for externally-parsed item trees — the reference's actual
+    * shape: a Docling-style tree whose text layer diverges from the page's
+    * glyph geometry (conversion_utils.py:445-478). Our own PDF parse is
+    * glyph-direct, so this entry point is where ingested trees (e.g. docling
+    * JSON) get the same routing + reconstruction. */
+  def repairDoc(doc: Doc, glyphs: Map[Int, Seq[graft.textkit.SpacingRepair.Glyph]])
+      : (Doc, SpacingFix.Report) = {
+    val pages = SpacingFix.detectSpacingPages(doc)
+    if (pages.exists(_.isEmpty)) (doc, SpacingFix.Report(0, 0, 0))
+    else SpacingFix.fixSpacedItems(doc, glyphs, pages)
   }
 
   /** Input projection + bucket assignment (codegen'd xxhash64, no UDF). */
@@ -84,7 +239,8 @@ object Pipeline {
   def extract(spark: SparkSession, pages: DataFrame,
               numBuckets: Int = DefaultBuckets,
               skipBuckets: Set[Int] = Set.empty,
-              shuffle: Boolean = true): Dataset[ExtractedRow] = {
+              shuffle: Boolean = true,
+              opts: ExtractOptions = ExtractOptions()): Dataset[ExtractedRow] = {
     import spark.implicits._
     val bucketed = withBucket(pages, numBuckets)
     val pruned =
@@ -96,7 +252,7 @@ object Pipeline {
       .mapPartitions { it =>
         // batched per-partition loop: compiled regex/state lives in JVM-static
         // textkit objects, so per-row cost is parse + transforms only
-        it.map { case (url, html, lang, bucket) => extractOne(url, html, lang, bucket) }
+        it.map { case (url, html, lang, bucket) => extractOne(url, html, lang, bucket, opts) }
       }
   }
 

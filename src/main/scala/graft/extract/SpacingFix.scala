@@ -184,14 +184,38 @@ object SpacingFix {
     ParseConfig("standard", 0.4, 8),
     ParseConfig("aggressive", 0.25, 16))
 
+  /** Slice the HTML to its first page wrapper — the probe converts only
+    * page 1 (conversion_utils.py:180-228 uses page_range=(1,1)), and our
+    * single-pass parser produces identical page-1 items from the prefix. */
+  def pageOneSlice(html: String): String = {
+    def secondMarker(marker: String): Int = {
+      val first = html.indexOf(marker)
+      if (first < 0) -1 else html.indexOf(marker, first + marker.length)
+    }
+    val idx = Seq(secondMarker("class=\"page\""), secondMarker("class='page'"))
+      .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+    if (idx < 0) html
+    else {
+      val tagStart = html.lastIndexOf('<', idx)
+      if (tagStart <= 0) html else html.substring(0, tagStart)
+    }
+  }
+
   def probeBackend(url: String, html: String): (String, Map[String, Int]) = {
+    // one config-independent parse of page 1; each config is a derived view
+    val detailed = HtmlExtract.parseDetailed(url, pageOneSlice(html))
     val scores = Backends.map { cfg =>
-      val doc = HtmlExtract.parse(url, html, cfg.linkDensityThreshold, cfg.minContentChars)
-      val page1 = doc.copy(items = doc.items.filter(_.pageNo == doc.pages.headOption.map(_.pageNo).getOrElse(1)))
-      val md = MarkdownRender.render(page1)
-      cfg.name -> Quality.scoreMarkdown(md).score
+      cfg.name -> probePage1Score(
+        HtmlExtract.applyConfig(detailed, cfg.linkDensityThreshold, cfg.minContentChars))
     }
     val best = scores.maxBy(_._2)._1 // Seq.maxBy keeps the first max: Python max parity
     (best, scores.toMap)
+  }
+
+  /** Page-1 markdown quality of an already-parsed view. */
+  def probePage1Score(doc: Doc): Int = {
+    val page1 = doc.copy(items = doc.items.filter(
+      _.pageNo == doc.pages.headOption.map(_.pageNo).getOrElse(1)))
+    Quality.scoreMarkdown(MarkdownRender.render(page1)).score
   }
 }
