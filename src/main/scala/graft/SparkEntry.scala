@@ -70,6 +70,7 @@ object SparkEntry {
     "q41_events_window_batch" -> ((s, d) => graft.streaming.EventStream.batch(s, d)),
     "q42_pdf_extract" -> (ExtractOps.pdfExtract(_, _)),
     "q43_pdf_pipeline" -> (ExtractOps.pdfPipeline(_, _)),
+    "q44_reference_golden" -> (ExtractOps.referenceGolden(_, _)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */
@@ -560,6 +561,17 @@ object SparkEntry {
         |SELECT doc_id, nl AS n_lines, CAST(ceil(nl / 12.0) AS INTEGER) AS n_pages,
         | CAST(length(text) AS INTEGER) AS extracted_chars, TRUE AS roundtrip_ok
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // parity metrics against the reference's own pinned artifacts
+    // (examples/long_report.docling.json transformed by our battery vs the
+    // committed examples/long_report.md) — expected values are ground truth
+    // measured from those artifacts, like the q35 fixture battery
+    "q44_reference_golden" ->
+      """SELECT * FROM (VALUES ('long_report', 19, 16, 16, 6, 16, TRUE,
+        |  411, 555, 5808, 5815))
+        | AS t(name, n_pages, n_tables, collapsed, flagship_cols, md_tables,
+        |      headings_present, equal_lines, want_lines, tokens_covered, tokens_total)
+        |ORDER BY name""".stripMargin,
 
     // PdfLayout clusters a page's evenly-spaced line grid into ONE text
     // block, so item_count == page_count on this synthetic corpus

@@ -71,24 +71,49 @@ object MarkdownRender {
     }
   }
 
-  /** Full document render with page-break markers between page transitions. */
+  /** Full document render with page-break markers between page transitions.
+    * Consecutive plain-text children of the same picture are joined into ONE
+    * space-separated block, mirroring docling-core's serializer (see
+    * examples/long_report.md: chart-internal text items emit as one line);
+    * non-text children (e.g. section_header chart titles) keep their own
+    * blocks. */
   def render(doc: Doc, exportLabels: Set[String] = Label.ExportLabels): String = {
     val sb = new StringBuilder
     var lastPage = -1
     var first = true
+    def emit(block: String, pageNo: Int): Unit = {
+      if (!first) {
+        if (pageNo != lastPage && lastPage != -1) sb ++= PageBreakMarker
+        else sb ++= "\n\n"
+      }
+      sb ++= block
+      first = false
+      lastPage = pageNo
+    }
+    val joinBuf = new StringBuilder
+    var joinParent = -1
+    var joinPage = -1
+    def flushJoin(): Unit = {
+      if (joinBuf.nonEmpty) emit(joinBuf.result(), joinPage)
+      joinBuf.clear()
+      joinParent = -1
+    }
     for (item <- doc.items) {
+      val joinable = item.parentIdx >= 0 && item.kind == ItemKind.Text &&
+        item.label == Label.Text
+      if (!joinable || item.parentIdx != joinParent) flushJoin()
       renderItem(item, exportLabels).foreach { block =>
-        if (!first) {
-          if (item.pageNo != lastPage && lastPage != -1) sb ++= PageBreakMarker
-          else sb ++= "\n\n"
-        }
-        sb ++= block
-        first = false
-        lastPage = item.pageNo
+        if (joinable) {
+          if (joinBuf.nonEmpty) joinBuf += ' '
+          joinBuf ++= block
+          joinParent = item.parentIdx
+          joinPage = item.pageNo
+        } else emit(block, item.pageNo)
       }
       // page transitions are tracked on exported items only, mirroring how
       // save_as_markdown only emits breaks between exported content
     }
+    flushJoin()
     sb.result()
   }
 

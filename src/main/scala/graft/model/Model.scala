@@ -69,7 +69,12 @@ case class DocItem(
     pageNo: Int,
     bbox: Option[Bbox],
     text: String,
-    table: Option[TableData])
+    table: Option[TableData],
+    /** idx of the enclosing picture for chart-internal text items (-1 = top
+      * level). Docling's markdown serializer joins a picture's surviving
+      * text children into ONE space-joined paragraph — parity with
+      * examples/long_report.md requires knowing the parent. */
+    parentIdx: Int = -1)
 
 case class PageDim(pageNo: Int, width: Double, height: Double)
 

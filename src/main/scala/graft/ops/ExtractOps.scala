@@ -402,6 +402,46 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** Reference-golden parity (q44): ingest the reference's pinned docling
+    * JSON, run the full transform battery + render + post-chain, and measure
+    * parity against the reference's committed markdown. All outputs are
+    * integer-exact and deterministic; the oracle pins them as literals
+    * derived from the reference artifacts (like the q35 fixtures). */
+  def referenceGolden(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.createDataset(Seq("long_report")).map { name =>
+      val base = "/root/reference/examples"
+      val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$name.docling.json"))
+      val want = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$name.md"))
+      val doc0 = graft.sources.DoclingJsonIngest.parse(json, s"doc://$name")
+      val (doc, counters) = DocTransforms.applyAll(doc0)
+      val got = MarkdownRender.postProcess(MarkdownRender.render(doc))
+      val gl = got.split("\n", -1)
+      val wl = want.split("\n", -1)
+      // LCS over lines: byte-identical line count at position
+      val prev = new Array[Int](wl.length + 1)
+      val cur = new Array[Int](wl.length + 1)
+      for (i <- 1 to gl.length) {
+        for (j <- 1 to wl.length)
+          cur(j) = if (gl(i - 1) == wl(j - 1)) prev(j - 1) + 1
+                   else math.max(prev(j), cur(j - 1))
+        System.arraycopy(cur, 0, prev, 0, wl.length + 1)
+      }
+      val gotHeadings = got.linesIterator.filter(_.startsWith("#")).toSet
+      val headingsPresent = want.linesIterator.filter(_.startsWith("#")).forall(gotHeadings)
+      val gotTokens = Numbers.tokenize(got).toSet
+      val wantTokens = Numbers.tokenize(want)
+      (name, doc0.pages.length, doc0.items.count(_.table.nonEmpty),
+        counters("collapsed_tables"), doc.items.flatMap(_.table).head.numCols,
+        MarkdownPost.markdownTableCount(got), headingsPresent,
+        prev(wl.length), wl.length,
+        wantTokens.count(gotTokens.contains), wantTokens.length)
+    }.toDF("name", "n_pages", "n_tables", "collapsed", "flagship_cols",
+      "md_tables", "headings_present", "equal_lines", "want_lines",
+      "tokens_covered", "tokens_total")
+      .orderBy($"name")
+  }
+
   /** Pure-JVM PDF path: write a minimal PDF per document (text lines, Td/TJ
     * positioning), tokenize the content stream back into positioned glyphs,
     * reconstruct reading order via the 2-means kernel, verify round trip. */
