@@ -21,14 +21,15 @@ object PdfLayout {
 
   private def linesOf(sized: Seq[SizedGlyph]): Seq[VLine] = {
     if (sized.isEmpty) return Seq.empty
-    val bySig = sized.map(sg => (sg.glyph, sg.fontSize))
-    val sizeOf: Map[(Double, Double, String), Double] =
-      bySig.map { case (g, sz) => (g.x0, g.y0, g.c) -> sz }.toMap
+    // identity map: clusterLines returns the same Glyph instances, so sizes
+    // survive even when two glyphs collide on (x0, y0, char)
+    val sizeOf = new java.util.IdentityHashMap[SpacingRepair.Glyph, java.lang.Double]()
+    for (sg <- sized) sizeOf.put(sg.glyph, sg.fontSize)
     SpacingRepair.clusterLines(sized.map(_.glyph)).flatMap { items =>
       val text = SpacingRepair.assembleLine(items)
       if (text.isEmpty) None
       else {
-        val size = items.map(g => sizeOf.getOrElse((g.x0, g.y0, g.c), 12.0)).max
+        val size = items.map(g => Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)).max
         // cell runs: split on gaps far wider than word spacing (> 1.5x size)
         val runs = mutable.ArrayBuffer(mutable.ArrayBuffer(items.head))
         for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
@@ -116,19 +117,81 @@ object PdfLayout {
           li = end + 1
         }
       }
-      for ((isTable, segLines) <- segments) {
-        if (isTable) {
-          val nRows = segLines.length
+      // header attachment: a line just above a band whose (fewer) runs each
+      // span a contiguous group of the band's columns becomes a spanning
+      // header row — the structure collapse_table_header_groups needs
+      // (table_fixes.py:272-337). The candidate is stolen from the tail of
+      // the preceding text segment.
+      def headerGroupsFor(h: VLine, seg: Seq[VLine]): Option[Seq[(Int, Int)]] = {
+        val nCols = seg.head.runs.length
+        if (h.runs.length < 2 || h.runs.length >= nCols) return None
+        if (seg.head.yTop - h.yTop > modalPitch * 1.75 || seg.head.yTop <= h.yTop) return None
+        // column x-extents across the band's rows
+        val colX = (0 until nCols).map { c =>
+          (seg.map(_.runs(c).x0).min, seg.map(_.runs(c).x1).max)
+        }
+        val assign = colX.map { case (x0, x1) =>
+          var best = -1
+          var bestOv = 0.0
+          for ((run, j) <- h.runs.zipWithIndex) {
+            val ov = math.min(x1, run.x1) - math.max(x0, run.x0)
+            if (ov > bestOv) { bestOv = ov; best = j }
+          }
+          best
+        }
+        // contiguous, complete, monotone tiling
+        if (assign.contains(-1)) return None
+        if (assign.head != 0 || assign.last != h.runs.length - 1) return None
+        if (assign.zip(assign.tail).exists { case (a, b) => b != a && b != a + 1 }) return None
+        if (assign.distinct.length != h.runs.length) return None
+        val groups = (0 until h.runs.length).map { j =>
+          (assign.indexOf(j), assign.lastIndexOf(j) + 1)
+        }
+        if (groups.forall { case (s, e) => e - s == 1 }) None else Some(groups)
+      }
+
+      // pass 1: decide stolen headers before any segment is emitted
+      val headerFor = mutable.Map.empty[Int, (VLine, Seq[(Int, Int)])]
+      val stolen = mutable.ArrayBuffer.empty[VLine]
+      for (((isTable, segLines), segIdx) <- segments.zipWithIndex if isTable) {
+        if (segIdx > 0 && !segments(segIdx - 1)._1 && segments(segIdx - 1)._2.nonEmpty) {
+          val cand = segments(segIdx - 1)._2.last
+          headerGroupsFor(cand, segLines).foreach { g =>
+            headerFor(segIdx) = (cand, g)
+            stolen += cand
+          }
+        }
+      }
+
+      for (((isTable, segLinesRaw), segIdx) <- segments.zipWithIndex) {
+        val segLines =
+          if (isTable) segLinesRaw
+          else segLinesRaw.filterNot(l => stolen.exists(_ eq l))
+        if (segLines.isEmpty) ()
+        else if (isTable) {
           val nCols = segLines.head.runs.length
-          val cells = for ((line, r) <- segLines.zipWithIndex; (run, c) <- line.runs.zipWithIndex)
-            yield TableCell(r, r + 1, c, c + 1, 1, 1, run.text,
-              columnHeader = r == 0, rowHeader = false, rowSection = false,
+          val headerOpt: Option[(VLine, Seq[(Int, Int)])] = headerFor.get(segIdx)
+          val headerRows = if (headerOpt.isDefined) 1 else 0
+          val nRows = segLines.length + headerRows
+          val headerCells = headerOpt.toSeq.flatMap { case (h, groups) =>
+            h.runs.zip(groups).map { case (run, (c0, c1)) =>
+              TableCell(0, 1, c0, c1, 1, c1 - c0, run.text,
+                columnHeader = true, rowHeader = false, rowSection = false,
+                fillable = false,
+                bbox = Some(Bbox(run.x0, h.yTop, run.x1, h.yBottom, Bbox.TopLeft)))
+            }
+          }
+          val dataCells = for ((line, r0) <- segLines.zipWithIndex; (run, c) <- line.runs.zipWithIndex)
+            yield TableCell(r0 + headerRows, r0 + headerRows + 1, c, c + 1, 1, 1, run.text,
+              columnHeader = headerRows == 0 && r0 == 0, rowHeader = false, rowSection = false,
               fillable = false,
               bbox = Some(Bbox(run.x0, line.yTop, run.x1, line.yBottom, Bbox.TopLeft)))
-          val bbox = Bbox(segLines.map(_.x0).min, segLines.map(_.yTop).min,
-            segLines.map(_.x1).max, segLines.map(_.yBottom).max, Bbox.TopLeft)
+          val allLines = headerOpt.map(_._1).toSeq ++ segLines
+          val bbox = Bbox(allLines.map(_.x0).min, allLines.map(_.yTop).min,
+            allLines.map(_.x1).max, allLines.map(_.yBottom).max, Bbox.TopLeft)
           items += DocItem(idx, ItemKind.Table, Label.Table, ContentLayer.Body,
-            pageNo, Some(bbox), "", Some(TableData(nRows, nCols, cells.toArray)))
+            pageNo, Some(bbox), "",
+            Some(TableData(nRows, nCols, (headerCells ++ dataCells).toArray)))
           idx += 1
         } else {
           for (block <- blocksOf(segLines)) {

@@ -64,3 +64,65 @@ class PdfLayoutSpec extends AnyFunSuite {
     assert(tables(0).numRows == 3 && tables(1).numRows == 2)
   }
 }
+
+/** PDF table header structure: a spanning header row above an aligned band
+  * (table_fixes.py:272-337 needs real spans for the collapse to do work). */
+class PdfHeaderGroupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.extract.SyntheticPdf.SizedLine
+  import graft.model._
+
+  private def tablePdf(): Array[Byte] = {
+    // header: 3 runs; data rows: 5 aligned runs -> header runs span columns
+    val header = SizedLine("", 12, 0, cells = Seq(
+      (72.0, "Indicatori"), (200.0, "30/09/2025"), (360.0, "30/09/2024")))
+    val rows = Seq(
+      Seq((72.0, "CIFRA"), (200.0, "RON"), (260.0, "158.065.856"), (360.0, "RON"), (420.0, "126.792.531")),
+      Seq((72.0, "VENITURI"), (200.0, "RON"), (260.0, "245.140.981"), (360.0, "RON"), (420.0, "193.492.036")),
+      Seq((72.0, "PROFIT"), (200.0, "RON"), (260.0, "42.916.476"), (360.0, "RON"), (420.0, "21.077.699")))
+      .map(cs => SizedLine("", 12, 14, cells = cs))
+    graft.extract.SyntheticPdf.pdfSized(Seq(
+      Seq(SizedLine("Raport financiar consolidat", 12, 0)) ++
+        Seq(header.copy(gapBefore = 14)) ++ rows))
+  }
+
+  test("band detection attaches the header line as a spanning row 0") {
+    val doc = graft.extract.PdfLayout.buildDoc("doc://hdr", tablePdf())
+    val tables = doc.items.flatMap(_.table)
+    assert(tables.length == 1, doc.items.map(i => (i.kind, i.text)).mkString("; "))
+    val t = tables.head
+    assert(t.numRows == 4 && t.numCols == 5, s"${t.numRows}x${t.numCols}")
+    val hdr = t.cells.filter(_.columnHeader).sortBy(_.startCol)
+    assert(hdr.map(c => (c.startCol, c.endCol, c.text)).toSeq ==
+      Seq((0, 1, "Indicatori"), (1, 3, "30/09/2025"), (3, 5, "30/09/2024")))
+    // the prose line above stays a text item (not stolen)
+    assert(doc.items.exists(i => i.kind == ItemKind.Text &&
+      i.text == "Raport financiar consolidat"))
+  }
+
+  test("the split RON | number pair collapses end-to-end, as in test_table_fixes.py:181-189") {
+    val doc = graft.extract.PdfLayout.buildDoc("doc://hdr", tablePdf())
+    val (fixed, counters) = graft.extract.DocTransforms.applyAll(doc)
+    assert(counters("collapsed_tables") == 1, counters)
+    val t = fixed.items.flatMap(_.table).head
+    assert(t.numCols == 3, s"collapsed to ${t.numCols}")
+    assert(t.cells.exists(_.text == "RON 158.065.856"), t.cells.map(_.text).mkString("|"))
+    assert(t.cells.exists(_.text == "RON 126.792.531"))
+    // currency vote sees real per-column currencies now
+    val md = graft.extract.MarkdownRender.render(fixed)
+    assert(md.contains("| RON 158.065.856 |") || md.contains("RON 158.065.856"), md)
+  }
+
+  test("a table without a grouped header keeps the first data row as header (old behavior)") {
+    val rows = Seq(
+      Seq((72.0, "Col1"), (200.0, "Col2"), (330.0, "Col3")),
+      Seq((72.0, "aaa"), (200.0, "bbb"), (330.0, "ccc")),
+      Seq((72.0, "ddd"), (200.0, "eee"), (330.0, "fff")))
+      .map(cs => SizedLine("", 12, 14, cells = cs))
+    val pdf = graft.extract.SyntheticPdf.pdfSized(Seq(rows.head.copy(gapBefore = 0) +: rows.tail))
+    val doc = graft.extract.PdfLayout.buildDoc("doc://plain", pdf)
+    val t = doc.items.flatMap(_.table).head
+    assert(t.numRows == 3 && t.numCols == 3)
+    assert(t.cells.filter(_.columnHeader).forall(_.startRow == 0))
+    assert(t.cells.forall(c => c.endCol - c.startCol == 1))
+  }
+}
