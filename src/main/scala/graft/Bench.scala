@@ -74,9 +74,27 @@ object Bench {
         backendAuto = false, ocrMode = "off", spacingFix = false, suspectRepair = true)
       case _ => graft.extract.Pipeline.ExtractOptions()
     }
+    // SPARK_GRAFT_BENCH_KERNEL=1 folds to a per-partition count INSIDE
+    // mapPartitions — same extractOne work, no ExtractedRow encoding — to
+    // attribute the encoder/serialization share of the scaling gap
+    val kernelMode = sys.env.get("SPARK_GRAFT_BENCH_KERNEL").contains("1")
     def extractCount(): Long =
-      graft.extract.Pipeline.extract(spark, pagesDF, numBuckets = numBuckets,
-        shuffle = !fused, opts = flowOpts).count()
+      if (kernelMode) {
+        import spark.implicits._
+        graft.extract.Pipeline.withBucket(pagesDF, numBuckets)
+          .repartition(numBuckets, $"bucket")
+          .as[(String, Array[Byte], String, Int)]
+          .mapPartitions { it =>
+            var n = 0L
+            it.foreach { case (url, html, lang, bucket) =>
+              if (graft.extract.Pipeline.extractOne(url, html, lang, bucket, flowOpts) != null)
+                n += 1
+            }
+            Iterator.single(n)
+          }.reduce(_ + _)
+      } else
+        graft.extract.Pipeline.extract(spark, pagesDF, numBuckets = numBuckets,
+          shuffle = !fused, opts = flowOpts).count()
     extractCount(); extractCount() // JIT/codegen warm-up, untimed
     // best-of-2 to damp host noise (sandbox VM timing jitter)
     val (extracted, sec1) = time(extractCount())
@@ -87,11 +105,14 @@ object Bench {
     // representative per-operator timings on the driver testdata tables
     // (skippable for scaling-evidence runs: SPARK_GRAFT_BENCH_ONLY=extract)
     val extractOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("extract")
+    // headline near-dup is the doc-freq-pruned q25 (the 100 TB path);
+    // q15's unpruned trigram join stays a correctness query only
     val benchQueries = if (extractOnly) Seq.empty[String] else Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders_per_customer",
       "q05_events_hourly", "q10_token_stats", "q12_langid",
-      "q14_exact_dedup_groups", "q15_ngram_jaccard_pairs", "q17_minhash_signatures",
-      "q18_minhash_lsh_pairs", "q19_simhash", "q21_cosine_topk", "q23_cosine_lsh_topk",
+      "q14_exact_dedup_groups", "q25_ngram_jaccard_pruned", "q17_minhash_signatures",
+      "q18_minhash_lsh_pairs", "q19_simhash", "q29_simhash64_pairs",
+      "q21_cosine_topk", "q23_cosine_lsh_topk", "q27_cosine_ivf_topk",
       "q30_extract_documents", "q34_multimodal_features")
     // steady-state: warm codegen/JIT on the smallest SF with the same plan
     // shapes, then time against the target SF
