@@ -71,6 +71,9 @@ object SparkEntry {
     "q42_pdf_extract" -> (ExtractOps.pdfExtract(_, _)),
     "q43_pdf_pipeline" -> (ExtractOps.pdfPipeline(_, _)),
     "q44_reference_golden" -> (ExtractOps.referenceGolden(_, _)),
+    "q45_docling_pipeline" -> (ExtractOps.doclingPipeline(_, _)),
+    "q46_kpi_captions" -> (ExtractOps.kpiCaptions(_, _)),
+    "q47_neardup_components" -> ((s, d) => Ops.q47NeardupComponents(s, d)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */
@@ -572,6 +575,58 @@ object SparkEntry {
         | AS t(name, n_pages, n_tables, collapsed, flagship_cols, md_tables,
         |      headings_present, equal_lines, want_lines, tokens_covered, tokens_total)
         |ORDER BY name""".stripMargin,
+
+    // docling-JSON payloads through the distributed pipeline: items = title
+    // + P paragraphs (+ 1 table for doc_id%3=0 whose split RON|number pair
+    // MUST collapse); coverage is the lossless-extraction invariant
+    "q45_docling_pipeline" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INTEGER) AS p FROM documents)
+        |SELECT 'doc://' || doc_id AS url, 'docling-json' AS backend,
+        | 1 AS page_count,
+        | CAST(1 + p + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS item_count,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS table_count,
+        | (doc_id % 3 = 0) AS collapsed_pair,
+        | TRUE AS covered
+        |FROM s ORDER BY url""".stripMargin,
+
+    // KPI caption channel: docs in the doc_id%4 class carry picture region
+    // text that the caption pass must attach (items = nav+h1+P+H+footer
+    // + picture + caption for that class)
+    "q46_kpi_captions" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INTEGER) AS p FROM documents),
+        |s2 AS (SELECT doc_id, p, CAST(p // 3 AS INTEGER) AS h FROM s)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(3 + p + h + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS INTEGER) AS item_count,
+        | (doc_id % 4 = 0) AS caption_added
+        |FROM s2 ORDER BY url""".stripMargin,
+
+    // connected components over the LSH candidate pairs (dedup keeper
+    // assignment): recursive transitive closure in DuckDB mirrors the
+    // iterative min-label propagation
+    "q47_neardup_components" -> {
+      val bandSelects = (0 until Ops.MinhashK by 2).map { j =>
+        s"SELECT doc_id, ${j / 2} AS band, CAST(sig_$j AS VARCHAR) || ':' || " +
+          s"CAST(sig_${j + 1} AS VARCHAR) AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |bands AS ($bandSelects),
+         |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |e2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |       UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e2
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, min(dst) AS mindst FROM reach GROUP BY src)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(least(c.doc_id, c.mindst), d.doc_id) AS BIGINT) AS component
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // PdfLayout clusters a page's evenly-spaced line grid into ONE text
     // block, so item_count == page_count on this synthetic corpus

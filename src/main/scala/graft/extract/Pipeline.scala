@@ -65,6 +65,15 @@ object Pipeline {
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
       bytes(3) == 'F' && bytes(4) == '-'
 
+  /** DoclingDocument JSON payload (the reference's --export-json artifact):
+    * starts with '{' and declares the docling schema in its head. */
+  private def isDoclingJson(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 16 || bytes(0) != '{') return false
+    val head = new String(bytes, 0, math.min(bytes.length, 256),
+      java.nio.charset.StandardCharsets.UTF_8)
+    head.contains("\"schema_name\"")
+  }
+
   /** True when any table payload differs by reference between the two docs
     * (derived config views share table items, so this is O(items)). */
   private def tablesDiffer(a: Doc, b: Doc): Boolean = {
@@ -107,7 +116,15 @@ object Pipeline {
     var glyphs: Map[Int, Seq[graft.textkit.SpacingRepair.Glyph]] = Map.empty
 
     var detailed: HtmlExtract.Parsed = null
-    if (!isPdf(htmlBytes)) {
+    if (isDoclingJson(htmlBytes)) {
+      // externally-parsed tree (reference --export-json payload): ingest and
+      // run the same transform battery; glyph repair applies only when a
+      // glyph channel rides along (repairDoc), so routing detection still
+      // runs but repair is a no-op here
+      parsed = graft.sources.DoclingJsonIngest.parse(
+        new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8), url)
+      backend = "docling-json"
+    } else if (!isPdf(htmlBytes)) {
       // ONE parse serves every config: the standard/aggressive/ocr views
       // differ only in the boilerplate thresholding of captured block meta,
       // so the probe and the OCR retry re-derive views allocation-light

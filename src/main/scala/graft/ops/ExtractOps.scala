@@ -107,6 +107,39 @@ object ExtractOps {
     sb.result()
   }
 
+  /** q46 wrapper: htmlFromText plus, for doc_id % 4 == 0, a chart picture
+    * whose region text rides the data-picture-text channel (the KPI_OCR
+    * analog) — the caption pass must attach it as a caption item. */
+  val KpiCaptionText = "PROFIT NET RON 42,92 MIL. (EUR 8,45 MIL.)"
+  def htmlWithKpiPicture(docId: Long, text: String, lang: String): String = {
+    val sb = new StringBuilder
+    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
+    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
+    sb ++= s"""<div class="page" data-page-height="800">"""
+    sb ++= s"<h1>Document $docId</h1>"
+    if (docId % 4 == 0)
+      sb ++= s"""<img data-bbox="10,600,300,780" data-picture-text="$KpiCaptionText">"""
+    appendBody(sb, text, lang)
+    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
+    sb.result()
+  }
+
+  /** KPI picture-caption flow (q46), end-to-end through the pipeline:
+    * picture region text -> normalize -> isKpiText gate -> caption item ->
+    * markdown. Closed-form oracle on the doc_id class. */
+  def kpiCaptions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (s"doc://$id", htmlWithKpiPicture(id, text, lang).getBytes("UTF-8"), text, lang)
+      }
+      .toDF("url", "html", "text", "lang")
+    Pipeline.extract(s, pages, numBuckets = 16).toDF()
+      .select($"url", $"item_count",
+        $"markdown".contains(KpiCaptionText).as("caption_added"))
+      .orderBy($"url")
+  }
+
   private def srcDocs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"), col("lang"))
 
@@ -399,6 +432,64 @@ object ExtractOps {
       .select($"url", $"item_count",
         size(from_json($"doc_json", docSchema).getField("items")).as("json_items"),
         (get_json_object($"doc_json", "$.url") === $"url").as("json_url_ok"))
+      .orderBy($"url")
+  }
+
+  /** Deterministic DoclingDocument JSON for a driver text row — the
+    * reference's --export-json shape (schema_name/body/texts/tables/pages).
+    * doc_id % 3 == 0 rows carry a grouped-header table with a split
+    * "RON | 158.065.856" pair, so the collapse battery must fire on the
+    * ingested payload (closed-form oracle). */
+  def doclingJsonFromText(docId: Long, text: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val words = text.split(" ")
+    val paras = words.grouped(12).map(_.mkString(" ")).toSeq
+    val texts = new StringBuilder
+    val bodyRefs = new StringBuilder
+    def addText(i: Int, label: String, t: String): Unit = {
+      if (i > 0) texts += ','
+      texts ++= s"""{"self_ref":"#/texts/$i","children":[],"content_layer":"body","label":"$label","prov":[{"page_no":1,"bbox":{"l":10,"t":${20 + i * 14},"r":500,"b":${30 + i * 14},"coord_origin":"TOPLEFT"}}],"text":"${esc(t)}"}"""
+      if (bodyRefs.nonEmpty) bodyRefs += ','
+      bodyRefs ++= s"""{"$$ref":"#/texts/$i"}"""
+    }
+    addText(0, "title", s"Document $docId")
+    for ((p, i) <- paras.zipWithIndex) addText(i + 1, "text", p)
+    val hasTable = docId % 3 == 0
+    val tables = if (!hasTable) "" else {
+      if (bodyRefs.nonEmpty) bodyRefs += ','
+      bodyRefs ++= """{"$ref":"#/tables/0"}"""
+      def cell(r0: Int, r1: Int, c0: Int, c1: Int, hdr: Boolean, t: String) =
+        s"""{"bbox":{"l":${10 + c0 * 60},"t":${700 + r0 * 12},"r":${10 + c1 * 60},"b":${710 + r0 * 12},"coord_origin":"TOPLEFT"},"row_span":1,"col_span":${c1 - c0},"start_row_offset_idx":$r0,"end_row_offset_idx":$r1,"start_col_offset_idx":$c0,"end_col_offset_idx":$c1,"text":"$t","column_header":$hdr,"row_header":false,"row_section":false,"fillable":false}"""
+      s"""{"self_ref":"#/tables/0","children":[],"content_layer":"body","label":"table","prov":[{"page_no":1,"bbox":{"l":10,"t":700,"r":200,"b":730,"coord_origin":"TOPLEFT"}}],"data":{"num_rows":2,"num_cols":3,"table_cells":[
+         ${cell(0, 1, 0, 1, hdr = true, "Indicatori")},
+         ${cell(0, 1, 1, 3, hdr = true, "30/09/2025")},
+         ${cell(1, 2, 0, 1, hdr = false, "CIFRA")},
+         ${cell(1, 2, 1, 2, hdr = false, "RON")},
+         ${cell(1, 2, 2, 3, hdr = false, "158.065.856")}]}}"""
+    }
+    s"""{"schema_name":"DoclingDocument","version":"1.8.0","name":"doc$docId",
+       |"body":{"self_ref":"#/body","children":[$bodyRefs]},
+       |"texts":[$texts],"pictures":[],"tables":[$tables],
+       |"pages":{"1":{"page_no":1,"size":{"width":612,"height":792}}}}""".stripMargin
+  }
+
+  /** Docling-JSON payloads through the DISTRIBUTED pipeline (q45): the
+    * pages table carries the reference's native export format; payload
+    * sniffing routes it to the ingest + transform battery. */
+  def doclingPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (s"doc://$id", doclingJsonFromText(id, text).getBytes("UTF-8"), text, lang)
+      }
+      .toDF("url", "html", "text", "lang")
+    val coveredU = udf((md: String, srcText: String) =>
+      Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
+    Pipeline.extract(s, pages, numBuckets = 16).toDF()
+      .join(pages.select($"url", $"text".as("src_text")), "url")
+      .select($"url", $"backend", $"page_count", $"item_count", $"table_count",
+        $"markdown".contains("| RON 158.065.856 |").as("collapsed_pair"),
+        coveredU($"markdown", $"src_text").as("covered"))
       .orderBy($"url")
   }
 

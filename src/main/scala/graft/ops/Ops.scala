@@ -533,6 +533,37 @@ object Ops {
     voted.select($"doc_id", sim.as("simhash64"))
   }
 
+  /** Near-duplicate connected components (q47): the dedup keeper-selection
+    * step over the LSH candidate pairs. Iterative min-label propagation —
+    * each round one shuffle (edges ⋈ labels, groupBy min), O(log n) rounds
+    * to converge, localCheckpoint to cut lineage — the GraphX-free
+    * large-scale connected-components pattern. Every document gets a
+    * component id = the smallest doc_id reachable through candidate pairs
+    * (singletons map to themselves). */
+  def q47NeardupComponents(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = q18MinhashLshPairs(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").cache()
+    var comp = documents(s, dir).select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val propagated = edges.join(comp, edges("src") === comp("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+        .union(comp)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = propagated.as("n").join(comp.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      comp = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    comp.orderBy(col("doc_id"))
+  }
+
   /** nearest `n` centroid indices by L2 (deterministic tiebreak on index). */
   private def nearestCell(v: Array[Double], centroids: Array[Array[Double]], n: Int): Seq[Int] = {
     centroids.indices
