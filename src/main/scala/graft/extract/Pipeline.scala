@@ -66,10 +66,13 @@ object Pipeline {
       bytes(3) == 'F' && bytes(4) == '-'
 
   /** DoclingDocument JSON payload (the reference's --export-json artifact):
-    * starts with '{' and declares the docling schema in its head. */
+    * starts with '{' and declares the docling schema somewhere in its head.
+    * 4 KB covers key-reordered serializations; a pathological export with
+    * megabytes before schema_name would fall through to the HTML tokenizer
+    * (no crash, garbage item tree) — acceptable for a sniff. */
   private def isDoclingJson(bytes: Array[Byte]): Boolean = {
     if (bytes.length < 16 || bytes(0) != '{') return false
-    val head = new String(bytes, 0, math.min(bytes.length, 256),
+    val head = new String(bytes, 0, math.min(bytes.length, 4096),
       java.nio.charset.StandardCharsets.UTF_8)
     head.contains("\"schema_name\"")
   }

@@ -15,6 +15,20 @@ import graft.textkit._
   * acceptance invariants: full token coverage, successful round trips).
   */
 object ExtractOps {
+  /** Shared wrapper scaffolding: every closed-form oracle depends on this
+    * being byte-identical across the q30/q31/q39/q46 wrappers, so there is
+    * exactly one copy. */
+  private def htmlShell(docId: Long)(inner: StringBuilder => Unit): String = {
+    val sb = new StringBuilder
+    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
+    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
+    sb ++= s"""<div class="page" data-page-height="800">"""
+    sb ++= s"<h1>Document $docId</h1>"
+    inner(sb)
+    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
+    sb.result()
+  }
+
   /** Deterministic HTML wrapper for a driver-provided document row: the
     * text becomes paragraphs/headings, boilerplate noise is added, so the
     * full extraction stack runs over driver data.
@@ -24,16 +38,8 @@ object ExtractOps {
     * parsed items = nav + h1 + P + H + footer = 3 + P + H (the nav/footer
     * link blocks become furniture via the link-density rule), 1 page.
     */
-  def htmlFromText(docId: Long, text: String, lang: String): String = {
-    val sb = new StringBuilder
-    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
-    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
-    sb ++= s"""<div class="page" data-page-height="800">"""
-    sb ++= s"<h1>Document $docId</h1>"
-    appendBody(sb, text, lang)
-    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
-    sb.result()
-  }
+  def htmlFromText(docId: Long, text: String, lang: String): String =
+    htmlShell(docId)(sb => appendBody(sb, text, lang))
 
   /** Paragraphs of 12 words; every third group gets a heading. */
   private def appendBody(sb: StringBuilder, text: String, lang: String): Unit = {
@@ -52,41 +58,29 @@ object ExtractOps {
   /** q31 wrapper: htmlFromText plus, for doc_id % 5 == 0, one constant 3x3
     * table (header + 2 numeric rows) right after the h1 — so the audit's
     * table/numeric-recall battery does real work with a closed-form oracle. */
-  def htmlWithTable(docId: Long, text: String, lang: String): String = {
-    val sb = new StringBuilder
-    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
-    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
-    sb ++= s"""<div class="page" data-page-height="800">"""
-    sb ++= s"<h1>Document $docId</h1>"
-    if (docId % 5 == 0)
-      sb ++= ("<table><tr><th>metric</th><th>q1</th><th>q2</th></tr>" +
-        "<tr><td>revenue</td><td>101</td><td>202</td></tr>" +
-        "<tr><td>cost</td><td>11</td><td>22</td></tr></table>")
-    appendBody(sb, text, lang)
-    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
-    sb.result()
-  }
+  def htmlWithTable(docId: Long, text: String, lang: String): String =
+    htmlShell(docId) { sb =>
+      if (docId % 5 == 0)
+        sb ++= ("<table><tr><th>metric</th><th>q1</th><th>q2</th></tr>" +
+          "<tr><td>revenue</td><td>101</td><td>202</td></tr>" +
+          "<tr><td>cost</td><td>11</td><td>22</td></tr></table>")
+      appendBody(sb, text, lang)
+    }
 
   /** q39 wrapper: htmlFromText plus, for doc_id % 4 == 0, three identical
     * low-link-density junk blocks of 14 chars. The standard parse config
     * (minContentChars=8) keeps them -> repeated-line quality penalty; the
     * aggressive config (minContentChars=16) drops them -> the probe must
     * pick "aggressive" for exactly these documents. */
-  def htmlWithJunk(docId: Long, text: String, lang: String): String = {
-    val sb = new StringBuilder
-    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
-    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
-    sb ++= s"""<div class="page" data-page-height="800">"""
-    sb ++= s"<h1>Document $docId</h1>"
-    // full 12-word chunks only: a short tail paragraph would be a "short
-    // line" quality penalty and break the closed-form probe scores
-    val words = text.split(" ")
-    appendBody(sb, words.take(words.length / 12 * 12).mkString(" "), lang)
-    if (docId % 4 == 0)
-      for (_ <- 0 until 3) sb ++= "<p><a href='#'>b</a> uy item nowq</p>"
-    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
-    sb.result()
-  }
+  def htmlWithJunk(docId: Long, text: String, lang: String): String =
+    htmlShell(docId) { sb =>
+      // full 12-word chunks only: a short tail paragraph would be a "short
+      // line" quality penalty and break the closed-form probe scores
+      val words = text.split(" ")
+      appendBody(sb, words.take(words.length / 12 * 12).mkString(" "), lang)
+      if (docId % 4 == 0)
+        for (_ <- 0 until 3) sb ++= "<p><a href='#'>b</a> uy item nowq</p>"
+    }
 
   /** q36 wrapper: words in pages of 12, each page carrying 3 unique sentinel
     * tokens zq{doc}x{page}n{j} — per-page token coverage then has an exact
@@ -111,18 +105,12 @@ object ExtractOps {
     * whose region text rides the data-picture-text channel (the KPI_OCR
     * analog) — the caption pass must attach it as a caption item. */
   val KpiCaptionText = "PROFIT NET RON 42,92 MIL. (EUR 8,45 MIL.)"
-  def htmlWithKpiPicture(docId: Long, text: String, lang: String): String = {
-    val sb = new StringBuilder
-    sb ++= "<html><head><title>doc</title><script>t()</script></head><body>"
-    sb ++= "<nav><a href='/'>home</a> <a href='/a'>all</a> <a href='/b'>more</a></nav>"
-    sb ++= s"""<div class="page" data-page-height="800">"""
-    sb ++= s"<h1>Document $docId</h1>"
-    if (docId % 4 == 0)
-      sb ++= s"""<img data-bbox="10,600,300,780" data-picture-text="$KpiCaptionText">"""
-    appendBody(sb, text, lang)
-    sb ++= "</div><footer><a href='/t'>terms</a> <a href='/p'>privacy</a></footer></body></html>"
-    sb.result()
-  }
+  def htmlWithKpiPicture(docId: Long, text: String, lang: String): String =
+    htmlShell(docId) { sb =>
+      if (docId % 4 == 0)
+        sb ++= s"""<img data-bbox="10,600,300,780" data-picture-text="$KpiCaptionText">"""
+      appendBody(sb, text, lang)
+    }
 
   /** KPI picture-caption flow (q46), end-to-end through the pipeline:
     * picture region text -> normalize -> isKpiText gate -> caption item ->
@@ -143,6 +131,26 @@ object ExtractOps {
   private def srcDocs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"), col("lang"))
 
+  /** Longest common subsequence over lines — the byte-identical-line parity
+    * metric shared by q44 and ReferenceGoldenSpec (one copy so the spec's
+    * floor and the oracle's pinned value cannot drift apart). */
+  def lcsLines(a: Array[String], b: Array[String]): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      for (j <- 1 to b.length)
+        cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1
+                 else math.max(prev(j), cur(j - 1))
+      System.arraycopy(cur, 0, prev, 0, b.length + 1)
+    }
+    prev(b.length)
+  }
+
+  /** Lossless-extraction invariant shared by q30/q43/q45: every source-text
+    * token must appear in the rendered markdown. */
+  private def coveredUdf = udf((md: String, srcText: String) =>
+    Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
+
   /** Flagship: full extraction pipeline over the documents table wrapped in
     * HTML. One shuffle (bucket repartition), parse in mapPartitions; the
     * `covered` invariant re-audits every output against its source text. */
@@ -154,8 +162,8 @@ object ExtractOps {
         (s"doc://$id", htmlFromText(id, text, lang).getBytes("UTF-8"), text, lang)
       }
       .toDF("url", "html", "text", "lang")
-    val coveredU = udf((md: String, srcText: String) =>
-      Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
+      .cache() // feeds both the extract input and the src-text join side
+    val coveredU = coveredUdf
     Pipeline.extract(s, pages, numBuckets = 16)
       .toDF()
       .join(pages.select($"url", $"text".as("src_text")), "url")
@@ -483,8 +491,8 @@ object ExtractOps {
         (s"doc://$id", doclingJsonFromText(id, text).getBytes("UTF-8"), text, lang)
       }
       .toDF("url", "html", "text", "lang")
-    val coveredU = udf((md: String, srcText: String) =>
-      Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
+      .cache() // feeds both the extract input and the src-text join side
+    val coveredU = coveredUdf
     Pipeline.extract(s, pages, numBuckets = 16).toDF()
       .join(pages.select($"url", $"text".as("src_text")), "url")
       .select($"url", $"backend", $"page_count", $"item_count", $"table_count",
@@ -509,15 +517,7 @@ object ExtractOps {
       val got = MarkdownRender.postProcess(MarkdownRender.render(doc))
       val gl = got.split("\n", -1)
       val wl = want.split("\n", -1)
-      // LCS over lines: byte-identical line count at position
-      val prev = new Array[Int](wl.length + 1)
-      val cur = new Array[Int](wl.length + 1)
-      for (i <- 1 to gl.length) {
-        for (j <- 1 to wl.length)
-          cur(j) = if (gl(i - 1) == wl(j - 1)) prev(j - 1) + 1
-                   else math.max(prev(j), cur(j - 1))
-        System.arraycopy(cur, 0, prev, 0, wl.length + 1)
-      }
+      val equalLines = lcsLines(gl, wl)
       val gotHeadings = got.linesIterator.filter(_.startsWith("#")).toSet
       val headingsPresent = want.linesIterator.filter(_.startsWith("#")).forall(gotHeadings)
       val gotTokens = Numbers.tokenize(got).toSet
@@ -525,7 +525,7 @@ object ExtractOps {
       (name, doc0.pages.length, doc0.items.count(_.table.nonEmpty),
         counters("collapsed_tables"), doc.items.flatMap(_.table).head.numCols,
         MarkdownPost.markdownTableCount(got), headingsPresent,
-        prev(wl.length), wl.length,
+        equalLines, wl.length,
         wantTokens.count(gotTokens.contains), wantTokens.length)
     }.toDF("name", "n_pages", "n_tables", "collapsed", "flagship_cols",
       "md_tables", "headings_present", "equal_lines", "want_lines",
@@ -568,8 +568,8 @@ object ExtractOps {
         (s"doc://$id", graft.extract.SyntheticPdf.pdfFor(pdfPages), text, lang)
       }
       .toDF("url", "html", "text", "lang")
-    val coveredU = udf((md: String, srcText: String) =>
-      Numbers.coverage(Numbers.tokenize(srcText), Numbers.tokenize(md).toSet) == 1.0)
+      .cache() // feeds both the extract input and the src-text join side
+    val coveredU = coveredUdf
     Pipeline.extract(s, pages, numBuckets = 16).toDF()
       .join(pages.select($"url", $"text".as("src_text")), "url")
       .select($"url", $"page_count", $"item_count",

@@ -540,7 +540,7 @@ object Ops {
     * large-scale connected-components pattern. Every document gets a
     * component id = the smallest doc_id reachable through candidate pairs
     * (singletons map to themselves). */
-  def q47NeardupComponents(s: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def q47NeardupComponents(s: SparkSession, dir: String, maxIters: Int = 1000): DataFrame = {
     val pairs = q18MinhashLshPairs(s, dir).select(col("id_a"), col("id_b"))
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst").cache()
@@ -561,6 +561,11 @@ object Ops {
       converged = changed == 0
       iter += 1
     }
+    // propagation takes O(graph diameter) rounds — returning early would
+    // silently mislabel long chains, so non-convergence is an error, never
+    // a wrong answer (production fix for huge diameters: pointer doubling)
+    require(converged, s"component propagation did not converge in $maxIters rounds")
+    edges.unpersist() // comp is checkpoint-materialized; safe to release
     comp.orderBy(col("doc_id"))
   }
 

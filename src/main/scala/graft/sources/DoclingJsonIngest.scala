@@ -72,6 +72,9 @@ object DoclingJsonIngest {
           items += DocItem(idx, ItemKind.Text, n.path("label").asText(Label.Text),
             layer, pageNo, bbox, n.path("text").asText(""), None, parentIdx)
           idx += 1
+          // the schema permits children on any NodeItem (e.g. footnotes
+          // under a paragraph) — drop nothing, keep depth-first order
+          n.path("children").elements().asScala.foreach(c => visit(c.get("$ref").asText, parentIdx))
         case "pictures" =>
           val picIdx = idx
           items += DocItem(idx, ItemKind.Picture, Label.Picture, layer, pageNo, bbox, "", None)

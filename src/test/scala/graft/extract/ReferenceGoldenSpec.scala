@@ -70,22 +70,8 @@ class ReferenceGoldenSpec extends AnyFunSuite {
   test("aggregate parity floor: >=70% of reference lines byte-identical, >=99.5% token coverage") {
     val gl = got.split("\n", -1)
     val wl = want.split("\n", -1)
-    // LCS length over lines (difflib analog), small DP over ~600x950 lines
-    val m = gl.length; val n = wl.length
-    val prev = new Array[Int](n + 1)
-    val cur = new Array[Int](n + 1)
-    var i = 1
-    while (i <= m) {
-      var j = 1
-      while (j <= n) {
-        cur(j) = if (gl(i - 1) == wl(j - 1)) prev(j - 1) + 1
-                 else math.max(prev(j), cur(j - 1))
-        j += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, n + 1)
-      i += 1
-    }
-    val equalLines = prev(n)
+    val n = wl.length
+    val equalLines = graft.ops.ExtractOps.lcsLines(gl, wl)
     assert(equalLines >= (0.70 * n).toInt, s"only $equalLines/$n lines byte-identical")
 
     val gotTokens = graft.textkit.Numbers.tokenize(got).toSet
