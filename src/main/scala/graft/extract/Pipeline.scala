@@ -30,7 +30,27 @@ object Pipeline {
       backendAuto: Boolean = true,
       ocrMode: String = "off",
       spacingFix: Boolean = true,
-      suspectRepair: Boolean = true)
+      suspectRepair: Boolean = true,
+      /** page_range=(a,b), 1-based inclusive (cli.py:19-31,
+        * conversion_utils.py:348-353): convert only those pages. */
+      pageRange: Option[(Int, Int)] = None,
+      /** max_num_pages analog: convert only the first N pages. */
+      maxPages: Option[Int] = None)
+
+  /** Apply the page_range / max_pages restriction to a parsed tree — the
+    * reference passes these to the converter so later stages never see the
+    * pruned pages. */
+  private def restrictPages(doc: Doc, opts: ExtractOptions): Doc = {
+    if (opts.pageRange.isEmpty && opts.maxPages.isEmpty) return doc
+    val (lo, hi) = opts.pageRange.getOrElse((1, Int.MaxValue))
+    val cap = opts.maxPages.map { n =>
+      doc.pages.map(_.pageNo).sorted.take(n).lastOption.getOrElse(0)
+    }.getOrElse(Int.MaxValue)
+    def wanted(p: Int): Boolean = p >= lo && p <= hi && p <= cap
+    doc.copy(
+      items = doc.items.filter(i => wanted(i.pageNo)),
+      pages = doc.pages.filter(p => wanted(p.pageNo)))
+  }
 
   /** The "OCR" parse config for HTML payloads: keep everything (no
     * boilerplate thresholds), the analog of a forced full-page OCR re-read
@@ -174,6 +194,9 @@ object Pipeline {
       // so recovery happens through [d]'s glyph reconstruction instead;
       // glyphs are extracted lazily there, only for flagged documents
     }
+
+    // page_range / max_pages restriction (applied to whichever parse won)
+    parsed = restrictPages(parsed, opts)
 
     // [d] spacing-fix routing (conversion_utils.py:400-478); glyph
     // extraction is paid only for documents with flagged pages

@@ -453,11 +453,15 @@ object Ops {
     // distance to every cell (codebook is tiny: a broadcast cross join),
     // ranked per vector with a deterministic (dist, cell) tiebreak
     val wDist = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell").asc)
+    // cached: assigned (crank=1) and probes (crank<=nprobe) both read this —
+    // without it the codebook cross join + distance fold runs once per
+    // consumer subtree
     val ranked = v.crossJoin(cent)
       .withColumn("dist", expr(
         "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (s, e) -> s + e)"))
       .withColumn("crank", row_number().over(wDist))
       .filter(col("crank") <= nprobe)
+      .cache()
     val assigned = ranked.filter(col("crank") === 1)
       .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
     val probes = ranked.select(col("vec_id").as("q_id"), col("cell"))

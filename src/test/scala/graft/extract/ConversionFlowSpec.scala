@@ -124,3 +124,35 @@ class ConversionFlowSpec extends AnyFunSuite {
     assert(r.table_count == 1)
   }
 }
+
+/** page_range / max_pages restriction (cli.py:19-31, conversion_utils.py:348-353). */
+class PageRangeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def html(pages: Int): String = {
+    val sb = new StringBuilder("<html><body>")
+    for (p <- 1 to pages)
+      sb ++= s"""<div class="page" data-page-height="800"><p>Continutul paginii $p""" +
+        " cu suficiente cuvinte pentru un bloc de text real aici</p></div>"
+    sb ++= "</body></html>"
+    sb.result()
+  }
+
+  test("page_range keeps only the requested pages") {
+    val r = Pipeline.extractOne("doc://pr", html(4).getBytes("UTF-8"), "ro", 0,
+      Pipeline.ExtractOptions(pageRange = Some((2, 3))))
+    assert(r.page_count == 2, r.page_count)
+    assert(r.markdown.contains("paginii 2") && r.markdown.contains("paginii 3"))
+    assert(!r.markdown.contains("paginii 1") && !r.markdown.contains("paginii 4"))
+  }
+
+  test("max_pages caps conversion at the first N pages") {
+    val r = Pipeline.extractOne("doc://mp", html(4).getBytes("UTF-8"), "ro", 0,
+      Pipeline.ExtractOptions(maxPages = Some(2)))
+    assert(r.page_count == 2)
+    assert(r.markdown.contains("paginii 1") && !r.markdown.contains("paginii 3"))
+  }
+
+  test("no restriction converts everything (default)") {
+    val r = Pipeline.extractOne("doc://all", html(4).getBytes("UTF-8"), "ro", 0)
+    assert(r.page_count == 4)
+  }
+}
