@@ -43,3 +43,29 @@ class ExpandedOpsSpec extends AnyFunSuite {
     for ((_, c) <- comp) assert(comp(c) == c, s"representative $c not self-rooted")
   }
 }
+
+/** Streaming extraction: the batch conversion flow over a streaming source
+  * must produce exactly the batch result (same rows, same markdown). */
+class StreamingExtractSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streamed extraction equals batch extraction row-for-row") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-stream-pages").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val pages = spark.createDataset((0L until 64L)
+      .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+
+    val q = graft.streaming.StreamingExtract.stream(spark, src, out, ckpt, numBuckets = 8)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$out/data")
+      .select($"url", $"markdown").as[(String, String)].collect().toMap
+    val batch = graft.extract.Pipeline.extract(spark, spark.read.parquet(src), numBuckets = 8)
+      .toDF().select($"url", $"markdown").as[(String, String)].collect().toMap
+    assert(streamed.size == 64 && batch.size == 64)
+    assert(streamed == batch, "streamed and batch markdown must be byte-identical per url")
+  }
+}

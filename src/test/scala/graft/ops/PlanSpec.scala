@@ -2,6 +2,7 @@ package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.extract.SparkTestSession
 
 /** Physical-plan shape assertions: the optimizations the engine is designed
@@ -59,6 +60,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("pre-bucketed tables join with ZERO exchanges (the co-located-join layout)") {
+    import spark.implicits._
+    // two derived tables bucketed+sorted on doc_id: the repeated-join layout
+    // for a 100TB corpus keyed by document
+    spark.sql("DROP TABLE IF EXISTS docs_bkt")
+    spark.sql("DROP TABLE IF EXISTS stats_bkt")
+    // a crashed prior run can leave orphaned managed-table dirs behind
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    for (t <- Seq("docs_bkt", "stats_bkt")) {
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.select($"doc_id", $"text", $"lang")
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("docs_bkt")
+    docs.select($"doc_id", length($"text").as("n_chars"))
+      .write.bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("stats_bkt")
+    // disable broadcast so the plan shows the co-located SMJ the layout is
+    // for (at 100TB neither side broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try {
+      val joined = spark.table("docs_bkt").join(spark.table("stats_bkt"), "doc_id")
+        .groupBy($"lang").agg(sum($"n_chars").as("chars"))
+      joined.collect()
+      plan(joined).split("== Initial Plan ==").head
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // bucketing must eliminate the join exchanges entirely; only the final
+    // single-column aggregation exchange remains
+    assert("SortMergeJoin".r.findFirstIn(p).nonEmpty || "ShuffledHashJoin".r.findFirstIn(p).nonEmpty, p.take(1500))
+    val exchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length
+    assert(exchanges == 0, s"bucketed join still shuffles on doc_id:\n${p.take(2500)}")
   }
 
   test("lineitem filter pushdown reaches the parquet reader") {
