@@ -52,12 +52,37 @@ object MarkdownRender {
     sb.result()
   }
 
+  /** Image render modes (cli.py:72-81,198-208): placeholder is the
+    * reference default; referenced emits a relative artifact link named by
+    * reading-order index; embedded inlines a data URI when the picture
+    * carries payload bytes in its text channel (base64), else falls back to
+    * referenced. */
+  object ImageMode {
+    val Placeholder = "placeholder"
+    val Referenced = "referenced"
+    val Embedded = "embedded"
+  }
+
+  private def renderPicture(item: DocItem, imageMode: String): String =
+    imageMode match {
+      case ImageMode.Referenced => s"![Image](artifacts/image_${item.idx}.png)"
+      case ImageMode.Embedded =>
+        // picture payloads ride the text channel as base64 when a decoder
+        // upstream materialized them; without bytes, reference the artifact
+        val payload = Option(item.text).getOrElse("")
+        if (payload.startsWith("base64:"))
+          s"![Image](data:image/png;base64,${payload.stripPrefix("base64:")})"
+        else s"![Image](artifacts/image_${item.idx}.png)"
+      case _ => "<!-- image -->"
+    }
+
   /** Render one item to its markdown block (None = item not exported). */
-  def renderItem(item: DocItem, exportLabels: Set[String]): Option[String] = {
+  def renderItem(item: DocItem, exportLabels: Set[String],
+                 imageMode: String = ImageMode.Placeholder): Option[String] = {
     if (item.contentLayer != ContentLayer.Body) return None
     if (!exportLabels.contains(item.label)) return None
     item.kind match {
-      case ItemKind.Picture => Some("<!-- image -->")
+      case ItemKind.Picture => Some(renderPicture(item, imageMode))
       case ItemKind.Table => item.table.map(renderTable).filter(_.nonEmpty)
       case _ =>
         val text = Option(item.text).getOrElse("")
@@ -77,7 +102,8 @@ object MarkdownRender {
     * examples/long_report.md: chart-internal text items emit as one line);
     * non-text children (e.g. section_header chart titles) keep their own
     * blocks. */
-  def render(doc: Doc, exportLabels: Set[String] = Label.ExportLabels): String = {
+  def render(doc: Doc, exportLabels: Set[String] = Label.ExportLabels,
+             imageMode: String = ImageMode.Placeholder): String = {
     val sb = new StringBuilder
     var lastPage = -1
     var first = true
@@ -102,7 +128,7 @@ object MarkdownRender {
       val joinable = item.parentIdx >= 0 && item.kind == ItemKind.Text &&
         item.label == Label.Text
       if (!joinable || item.parentIdx != joinParent) flushJoin()
-      renderItem(item, exportLabels).foreach { block =>
+      renderItem(item, exportLabels, imageMode).foreach { block =>
         if (joinable) {
           if (joinBuf.nonEmpty) joinBuf += ' '
           joinBuf ++= block

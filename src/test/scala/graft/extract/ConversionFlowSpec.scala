@@ -156,3 +156,39 @@ class PageRangeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.page_count == 4)
   }
 }
+
+/** Image render modes (cli.py:72-81,198-208). */
+class ImageModeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model._
+  private val doc = Doc("doc://img", Array(
+    DocItem(0, ItemKind.Text, Label.Title, ContentLayer.Body, 1, None, "Raport", None),
+    DocItem(1, ItemKind.Picture, Label.Picture, ContentLayer.Body, 1, None, "", None),
+    DocItem(2, ItemKind.Picture, Label.Picture, ContentLayer.Body, 1, None, "base64:aGVsbG8=", None)),
+    Array(PageDim(1, 612, 792)))
+
+  test("placeholder mode (reference default) emits the comment marker") {
+    val md = MarkdownRender.render(doc)
+    assert(md.contains("<!-- image -->"))
+  }
+
+  test("referenced mode links artifacts by reading-order index") {
+    val md = MarkdownRender.render(doc, imageMode = MarkdownRender.ImageMode.Referenced)
+    assert(md.contains("![Image](artifacts/image_1.png)"))
+    assert(md.contains("![Image](artifacts/image_2.png)"))
+    assert(!md.contains("<!-- image -->"))
+  }
+
+  test("embedded mode inlines base64 payloads and falls back to referenced") {
+    val md = MarkdownRender.render(doc, imageMode = MarkdownRender.ImageMode.Embedded)
+    assert(md.contains("![Image](data:image/png;base64,aGVsbG8=)"))
+    assert(md.contains("![Image](artifacts/image_1.png)")) // no payload -> referenced
+  }
+
+  test("referenced images survive the post-chain (only placeholders are noise-removed)") {
+    val md = MarkdownRender.postProcess(
+      MarkdownRender.render(doc, imageMode = MarkdownRender.ImageMode.Referenced))
+    assert(md.contains("![Image](artifacts/image_1.png)"))
+    val placeholderMd = MarkdownRender.postProcess(MarkdownRender.render(doc))
+    assert(!placeholderMd.contains("<!-- image -->"))
+  }
+}
