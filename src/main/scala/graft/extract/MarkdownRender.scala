@@ -54,35 +54,42 @@ object MarkdownRender {
 
   /** Image render modes (cli.py:72-81,198-208): placeholder is the
     * reference default; referenced emits a relative artifact link named by
-    * reading-order index; embedded inlines a data URI when the picture
-    * carries payload bytes in its text channel (base64), else falls back to
-    * referenced. */
+    * a sequential reading-order counter; embedded inlines a data URI when
+    * the picture carries payload bytes in its text channel (base64), else
+    * falls back to the placeholder. */
   object ImageMode {
     val Placeholder = "placeholder"
     val Referenced = "referenced"
     val Embedded = "embedded"
   }
 
-  private def renderPicture(item: DocItem, imageMode: String): String =
+  private def renderPicture(item: DocItem, imageMode: String, ordinal: Int): String =
     imageMode match {
-      case ImageMode.Referenced => s"![Image](artifacts/image_${item.idx}.png)"
+      // sequential reading-order counter (the artifact exporter writes
+      // image_0, image_1, ... in the same order), NOT the item idx — idx has
+      // gaps after transforms delete items
+      case ImageMode.Referenced => s"![Image](artifacts/image_$ordinal.png)"
       case ImageMode.Embedded =>
         // picture payloads ride the text channel as base64 when a decoder
-        // upstream materialized them; without bytes, reference the artifact
+        // upstream materialized them; without bytes fall back to the
+        // placeholder (docling behavior), which the post-chain removes
         val payload = Option(item.text).getOrElse("")
         if (payload.startsWith("base64:"))
           s"![Image](data:image/png;base64,${payload.stripPrefix("base64:")})"
-        else s"![Image](artifacts/image_${item.idx}.png)"
+        else "<!-- image -->"
       case _ => "<!-- image -->"
     }
 
-  /** Render one item to its markdown block (None = item not exported). */
+  /** Render one item to its markdown block (None = item not exported).
+    * `pictureOrdinal` is the 0-based reading-order picture counter used by
+    * the referenced image mode. */
   def renderItem(item: DocItem, exportLabels: Set[String],
-                 imageMode: String = ImageMode.Placeholder): Option[String] = {
+                 imageMode: String = ImageMode.Placeholder,
+                 pictureOrdinal: Int = 0): Option[String] = {
     if (item.contentLayer != ContentLayer.Body) return None
     if (!exportLabels.contains(item.label)) return None
     item.kind match {
-      case ItemKind.Picture => Some(renderPicture(item, imageMode))
+      case ItemKind.Picture => Some(renderPicture(item, imageMode, pictureOrdinal))
       case ItemKind.Table => item.table.map(renderTable).filter(_.nonEmpty)
       case _ =>
         val text = Option(item.text).getOrElse("")
@@ -124,11 +131,12 @@ object MarkdownRender {
       joinBuf.clear()
       joinParent = -1
     }
+    var picOrdinal = 0
     for (item <- doc.items) {
       val joinable = item.parentIdx >= 0 && item.kind == ItemKind.Text &&
         item.label == Label.Text
       if (!joinable || item.parentIdx != joinParent) flushJoin()
-      renderItem(item, exportLabels, imageMode).foreach { block =>
+      renderItem(item, exportLabels, imageMode, picOrdinal).foreach { block =>
         if (joinable) {
           if (joinBuf.nonEmpty) joinBuf += ' '
           joinBuf ++= block
@@ -136,6 +144,7 @@ object MarkdownRender {
           joinPage = item.pageNo
         } else emit(block, item.pageNo)
       }
+      if (item.kind == ItemKind.Picture) picOrdinal += 1
       // page transitions are tracked on exported items only, mirroring how
       // save_as_markdown only emits breaks between exported content
     }

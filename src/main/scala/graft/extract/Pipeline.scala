@@ -35,18 +35,25 @@ object Pipeline {
         * conversion_utils.py:348-353): convert only those pages. */
       pageRange: Option[(Int, Int)] = None,
       /** max_num_pages analog: convert only the first N pages. */
-      maxPages: Option[Int] = None)
+      maxPages: Option[Int] = None,
+      /** picture render mode: placeholder (reference default) | referenced
+        * | embedded — see MarkdownRender.ImageMode. */
+      imageMode: String = MarkdownRender.ImageMode.Placeholder)
 
   /** Apply the page_range / max_pages restriction to a parsed tree — the
-    * reference passes these to the converter so later stages never see the
-    * pruned pages. */
+    * reference passes these to the converter, so it runs BEFORE the trigger
+    * metrics (chars_per_page is computed over the restricted pages).
+    * maxPages counts the first N pages remaining AFTER pageRange; items
+    * without page provenance (pageNo <= 0) are never dropped. */
   private def restrictPages(doc: Doc, opts: ExtractOptions): Doc = {
     if (opts.pageRange.isEmpty && opts.maxPages.isEmpty) return doc
     val (lo, hi) = opts.pageRange.getOrElse((1, Int.MaxValue))
-    val cap = opts.maxPages.map { n =>
-      doc.pages.map(_.pageNo).sorted.take(n).lastOption.getOrElse(0)
-    }.getOrElse(Int.MaxValue)
-    def wanted(p: Int): Boolean = p >= lo && p <= hi && p <= cap
+    val knownPages =
+      (if (doc.pages.nonEmpty) doc.pages.map(_.pageNo)
+       else doc.items.map(_.pageNo).distinct).filter(_ > 0).sorted
+    val inRange = knownPages.filter(p => p >= lo && p <= hi)
+    val kept = opts.maxPages.map(n => inRange.take(n)).getOrElse(inRange).toSet
+    def wanted(p: Int): Boolean = p <= 0 || kept.contains(p)
     doc.copy(
       items = doc.items.filter(i => wanted(i.pageNo)),
       pages = doc.pages.filter(p => wanted(p.pageNo)))
@@ -144,8 +151,8 @@ object Pipeline {
       // run the same transform battery; glyph repair applies only when a
       // glyph channel rides along (repairDoc), so routing detection still
       // runs but repair is a no-op here
-      parsed = graft.sources.DoclingJsonIngest.parse(
-        new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8), url)
+      parsed = restrictPages(graft.sources.DoclingJsonIngest.parse(
+        new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8), url), opts)
       backend = "docling-json"
     } else if (!isPdf(htmlBytes)) {
       // ONE parse serves every config: the standard/aggressive/ocr views
@@ -155,7 +162,8 @@ object Pipeline {
       val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
       detailed = HtmlExtract.parseDetailed(url, html)
       val std = SpacingFix.Backends.head
-      parsed = HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars)
+      parsed = restrictPages(
+        HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars), opts)
       backend = std.name
       if (opts.backendAuto) {
         // probe shortcut: scoring is capped at 100 and Python max keeps the
@@ -164,7 +172,8 @@ object Pipeline {
         val stdScore = SpacingFix.probePage1Score(parsed)
         if (stdScore < 100) {
           val agg = SpacingFix.Backends(1)
-          val aggDoc = HtmlExtract.applyConfig(detailed, agg.linkDensityThreshold, agg.minContentChars)
+          val aggDoc = restrictPages(
+            HtmlExtract.applyConfig(detailed, agg.linkDensityThreshold, agg.minContentChars), opts)
           if (SpacingFix.probePage1Score(aggDoc) > stdScore) {
             parsed = aggDoc
             backend = agg.name
@@ -177,8 +186,8 @@ object Pipeline {
         val ratio = spacedCellRatio(parsed)
         if (charsPerPage < CharsPerPageOcrTrigger || ratio >= SpacedRatioOcrTrigger) {
           ocrRetried = true
-          val ocr = HtmlExtract.applyConfig(detailed,
-            OcrParseConfig.linkDensityThreshold, OcrParseConfig.minContentChars)
+          val ocr = restrictPages(HtmlExtract.applyConfig(detailed,
+            OcrParseConfig.linkDensityThreshold, OcrParseConfig.minContentChars), opts)
           ocrDoc = Some(ocr)
           val ocrRatio = spacedCellRatio(ocr)
           // acceptance: conversion_utils.py:387-398
@@ -189,14 +198,11 @@ object Pipeline {
         }
       }
     } else {
-      parsed = PdfLayout.buildDoc(url, htmlBytes)
+      parsed = restrictPages(PdfLayout.buildDoc(url, htmlBytes), opts)
       // OCR retry is a no-op for the PDF path: our parse IS the glyph read,
       // so recovery happens through [d]'s glyph reconstruction instead;
       // glyphs are extracted lazily there, only for flagged documents
     }
-
-    // page_range / max_pages restriction (applied to whichever parse won)
-    parsed = restrictPages(parsed, opts)
 
     // [d] spacing-fix routing (conversion_utils.py:400-478); glyph
     // extraction is paid only for documents with flagged pages
@@ -229,7 +235,8 @@ object Pipeline {
     }
 
     val (doc, counters) = DocTransforms.applyAll(parsed)
-    val md = MarkdownRender.postProcess(MarkdownRender.render(doc))
+    val md = MarkdownRender.postProcess(
+      MarkdownRender.render(doc, imageMode = opts.imageMode))
     val text = MarkdownRender.renderPlainText(doc)
     ExtractedRow(
       url = url,

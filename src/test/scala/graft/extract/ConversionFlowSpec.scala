@@ -171,23 +171,23 @@ class ImageModeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(md.contains("<!-- image -->"))
   }
 
-  test("referenced mode links artifacts by reading-order index") {
+  test("referenced mode links artifacts by a sequential reading-order counter") {
     val md = MarkdownRender.render(doc, imageMode = MarkdownRender.ImageMode.Referenced)
+    assert(md.contains("![Image](artifacts/image_0.png)"))
     assert(md.contains("![Image](artifacts/image_1.png)"))
-    assert(md.contains("![Image](artifacts/image_2.png)"))
     assert(!md.contains("<!-- image -->"))
   }
 
-  test("embedded mode inlines base64 payloads and falls back to referenced") {
+  test("embedded mode inlines base64 payloads; no payload falls back to the placeholder") {
     val md = MarkdownRender.render(doc, imageMode = MarkdownRender.ImageMode.Embedded)
     assert(md.contains("![Image](data:image/png;base64,aGVsbG8=)"))
-    assert(md.contains("![Image](artifacts/image_1.png)")) // no payload -> referenced
+    assert(md.contains("<!-- image -->")) // no payload -> placeholder (post-chain removes)
   }
 
   test("referenced images survive the post-chain (only placeholders are noise-removed)") {
     val md = MarkdownRender.postProcess(
       MarkdownRender.render(doc, imageMode = MarkdownRender.ImageMode.Referenced))
-    assert(md.contains("![Image](artifacts/image_1.png)"))
+    assert(md.contains("![Image](artifacts/image_0.png)"))
     val placeholderMd = MarkdownRender.postProcess(MarkdownRender.render(doc))
     assert(!placeholderMd.contains("<!-- image -->"))
   }

@@ -61,7 +61,10 @@ class StreamingExtractSpec extends org.scalatest.funsuite.AnyFunSuite {
     val q = graft.streaming.StreamingExtract.stream(spark, src, out, ckpt, numBuckets = 8)
     q.awaitTermination(120000)
 
-    val streamed = spark.read.parquet(s"$out/data")
+    // raw row count FIRST: a replayed/duplicated micro-batch must fail here
+    val raw = spark.read.parquet(s"$out/data")
+    assert(raw.count() == 64, s"expected 64 rows, got ${raw.count()}")
+    val streamed = raw
       .select($"url", $"markdown").as[(String, String)].collect().toMap
     val batch = graft.extract.Pipeline.extract(spark, spark.read.parquet(src), numBuckets = 8)
       .toDF().select($"url", $"markdown").as[(String, String)].collect().toMap

@@ -74,8 +74,10 @@ class PlanSpec extends AnyFunSuite {
     for (t <- Seq("docs_bkt", "stats_bkt")) {
       val d = new java.io.File(wh, t)
       if (d.exists()) {
-        d.listFiles().foreach(_.delete())
-        d.delete()
+        val walk = java.nio.file.Files.walk(d.toPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
       }
     }
     val docs = spark.read.parquet(s"$sf/documents.parquet")
