@@ -105,15 +105,17 @@ object Bench {
     // representative per-operator timings on the driver testdata tables
     // (skippable for scaling-evidence runs: SPARK_GRAFT_BENCH_ONLY=extract)
     val extractOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("extract")
-    // headline near-dup is the doc-freq-pruned q25 (the 100 TB path);
-    // q15's unpruned trigram join stays a correctness query only
-    val benchQueries = if (extractOnly) Seq.empty[String] else Seq(
+    // headline near-dup is the doc-freq-pruned q25 (the 100 TB path); the
+    // quadratic correctness baselines (q15/q21/q22) are excluded MECHANICALLY
+    // via SparkEntry.baselineOnly so no O(n^2) shape can enter a headline
+    val benchQueries = (if (extractOnly) Seq.empty[String] else Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders_per_customer",
       "q05_events_hourly", "q10_token_stats", "q12_langid",
       "q14_exact_dedup_groups", "q25_ngram_jaccard_pruned", "q17_minhash_signatures",
       "q18_minhash_lsh_pairs", "q19_simhash", "q29_simhash64_pairs",
-      "q21_cosine_topk", "q23_cosine_lsh_topk", "q27_cosine_ivf_topk",
-      "q30_extract_documents", "q34_multimodal_features")
+      "q23_cosine_lsh_topk", "q27_cosine_ivf_topk", "q49_ivf_trained",
+      "q30_extract_documents", "q34_multimodal_features"))
+      .filterNot(SparkEntry.baselineOnly)
     // steady-state: warm codegen/JIT on the smallest SF with the same plan
     // shapes, then time against the target SF
     val warmDir = "/root/testdata/sf0.001"

@@ -75,7 +75,16 @@ object SparkEntry {
     "q46_kpi_captions" -> (ExtractOps.kpiCaptions(_, _)),
     "q47_neardup_components" -> ((s, d) => Ops.q47NeardupComponents(s, d)),
     "q48_two_channel_repair" -> (ExtractOps.twoChannelRepair(_, _)),
+    "q49_ivf_trained" -> ((s, d) => Ops.q49IvfTrainedTopK(s, d)),
   )
+
+  /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
+    * oracle-pin their scale-safe siblings (q15 unpruned trigram join -> q25;
+    * q21 brute-force top-k -> q23/q27; q22 inequality-only self-join -> q23).
+    * Bench/scale harnesses must exclude these mechanically — none of them is
+    * a plan you would run at 100 TB. */
+  val baselineOnly: Set[String] =
+    Set("q15_ngram_jaccard_pairs", "q21_cosine_topk", "q22_cosine_neardup")
 
   /** DuckDB fold equal to graft.functions.PolyHash over ASCII text. */
   private def phSql(col: String): String =
@@ -628,6 +637,60 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // trained-IVF ANN (the production path end-to-end): DuckDB reruns the
+    // deterministic k-means bit-exactly — init = first 16 sample vectors by
+    // vec_id, 5 Lloyd iterations as a recursive CTE whose folds add in the
+    // same IEEE order as the Scala loops — then the same cell equi-join
+    // search as q27 against the trained centroids
+    "q49_ivf_trained" ->
+      s"""WITH RECURSIVE
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |samp AS (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT 4096),
+         |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, v AS cv
+         |         FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 16)),
+         |km AS (
+         |  SELECT 0 AS it, c, cv FROM init
+         |  UNION ALL
+         |  SELECT it + 1 AS it, c,
+         |    CASE WHEN coalesce(len(vs), 0) = 0 THEN oldcv
+         |         ELSE list_transform(generate_series(1, 64), i ->
+         |           list_reduce(list_prepend(0.0, list_transform(vs, q -> q[i])),
+         |             (a, e) -> a + e) / len(vs))
+         |    END AS cv
+         |  FROM (
+         |    SELECT it, c, any_value(cv) AS oldcv,
+         |           list(v ORDER BY svid) FILTER (WHERE crank = 1) AS vs
+         |    FROM (
+         |      SELECT km.it, km.c, km.cv, s.v, s.vec_id AS svid,
+         |        row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |          list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |            i -> (s.v[i] - km.cv[i]) * (s.v[i] - km.cv[i]))),
+         |            (a, e) -> a + e) ASC, km.c ASC) AS crank
+         |      FROM km, samp s
+         |    ) GROUP BY it, c
+         |  ) WHERE it < 5
+         |),
+         |cent AS (SELECT c, cv FROM km WHERE it = 5),
+         |n AS (SELECT vec_id, v, $normSql AS nrm FROM vv),
+         |dist AS (SELECT n.vec_id, n.v, n.nrm, cent.c AS cell,
+         |  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |    i -> (n.v[i] - cent.cv[i]) * (n.v[i] - cent.cv[i]))), (s, e) -> s + e) AS dist
+         |  FROM n, cent),
+         |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC)
+         |  AS INTEGER) AS crank FROM dist),
+         |assigned AS (SELECT vec_id, cell, v, nrm FROM rk WHERE crank = 1),
+         |probes AS (SELECT vec_id AS q_id, cell FROM rk WHERE crank <= 2),
+         |pairs AS (SELECT p.q_id, a.vec_id AS neighbor_id,
+         |  round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+         |    i -> q.v[i] * a.v[i])), (s, e) -> s + e) / (q.nrm * a.nrm), 4) AS sim
+         |  FROM probes p
+         |  JOIN assigned a ON p.cell = a.cell AND p.q_id <> a.vec_id
+         |  JOIN assigned q ON q.vec_id = p.q_id),
+         |r AS (SELECT q_id, neighbor_id, sim, CAST(row_number() OVER (
+         |  PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank FROM pairs)
+         |SELECT q_id AS vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+         |ORDER BY vec_id, rank""".stripMargin,
 
     // two-channel repair: every row's letter-spaced text item must be
     // reconstructed exactly from the PDF glyph channel (the reference's

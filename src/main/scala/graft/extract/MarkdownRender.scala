@@ -143,8 +143,11 @@ object MarkdownRender {
           joinParent = item.parentIdx
           joinPage = item.pageNo
         } else emit(block, item.pageNo)
+        // ordinal counts EXPORTED pictures only, so referenced-mode links
+        // stay dense (image_0, image_1, ...) and in sync with an artifact
+        // exporter that writes one file per emitted picture block
+        if (item.kind == ItemKind.Picture) picOrdinal += 1
       }
-      if (item.kind == ItemKind.Picture) picOrdinal += 1
       // page transitions are tracked on exported items only, mirroring how
       // save_as_markdown only emits breaks between exported content
     }

@@ -112,10 +112,15 @@ object Pipeline {
     ta.length != tb.length || ta.zip(tb).exists { case (x, y) => !(x eq y) }
   }
 
-  /** spaced_ratio over non-TOC table cells (conversion_utils.py:367-372). */
+  /** spaced_ratio over non-TOC table cells (conversion_utils.py:367-372):
+    * the reference derives it from audit_doc_vs_markdown's counters, which
+    * skip TOC-like tables (audit_utils.py:296-302) — a TOC-heavy document
+    * must not spuriously trip the OCR retry or skew the halved-ratio
+    * acceptance rule. */
   private def spacedCellRatio(doc: Doc): Double = {
     var spaced = 0L; var total = 0L
-    for (t <- doc.items.flatMap(_.table); c <- t.cells) {
+    for (t <- doc.items.flatMap(_.table) if !graft.audit.Audit.isTocLikeTable(t);
+         c <- t.cells) {
       total += 1
       if (graft.textkit.Predicates.isSpacedText(c.text)) spaced += 1
     }
@@ -138,6 +143,9 @@ object Pipeline {
     */
   def extractOne(url: String, htmlBytes: Array[Byte], lang: String,
                  bucket: Int, opts: ExtractOptions = ExtractOptions()): ExtractedRow = {
+    // reject unknown modes loudly — a typo'd mode must not silently run "off"
+    require(opts.ocrMode == "off" || opts.ocrMode == "auto" || opts.ocrMode == "on",
+      s"unknown ocrMode '${opts.ocrMode}' (expected off|auto|on)")
     var backend = "pdf-layout"
     var ocrRetried = false
     var ocrAccepted = false
@@ -165,7 +173,13 @@ object Pipeline {
       parsed = restrictPages(
         HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars), opts)
       backend = std.name
-      if (opts.backendAuto) {
+      if (opts.ocrMode == "on") {
+        // forced full-page OCR (conversion_utils.py:357-358): the keep-
+        // everything parse unconditionally — no probe, no retry bookkeeping
+        parsed = restrictPages(HtmlExtract.applyConfig(detailed,
+          OcrParseConfig.linkDensityThreshold, OcrParseConfig.minContentChars), opts)
+        backend = OcrParseConfig.name
+      } else if (opts.backendAuto) {
         // probe shortcut: scoring is capped at 100 and Python max keeps the
         // first argmax, so a perfect standard page-1 always wins — only
         // sub-100 documents score the aggressive view
@@ -286,11 +300,38 @@ object Pipeline {
     * into the scan stage — zero exchanges — for pure-throughput paths where
     * write layout doesn't matter (each task then writes to several bucket
     * dirs; compaction happens at commit). */
+  /** Per-bucket (docCount, bytes) accumulator: rides the extraction job so
+    * commit-time lineage stats need NO post-write rescan of the output. Safe
+    * because the map stage runs inside the write's result stage — Spark
+    * applies a result task's accumulator updates exactly once per
+    * successfully-committed partition. */
+  class BucketStatsAcc extends org.apache.spark.util.AccumulatorV2[
+      (Int, Long), Map[Int, (Long, Long)]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): BucketStatsAcc = {
+      val c = new BucketStatsAcc; m.foreach { case (k, v) => c.m(k) = v }; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, Long)): Unit = {
+      val cur = m.getOrElse(v._1, (0L, 0L))
+      m(v._1) = (cur._1 + 1, cur._2 + v._2)
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, Long), Map[Int, (Long, Long)]]): Unit =
+      other.value.foreach { case (b, (n, bytes)) =>
+        val cur = m.getOrElse(b, (0L, 0L))
+        m(b) = (cur._1 + n, cur._2 + bytes)
+      }
+    override def value: Map[Int, (Long, Long)] = m.toMap
+  }
+
   def extract(spark: SparkSession, pages: DataFrame,
               numBuckets: Int = DefaultBuckets,
               skipBuckets: Set[Int] = Set.empty,
               shuffle: Boolean = true,
-              opts: ExtractOptions = ExtractOptions()): Dataset[ExtractedRow] = {
+              opts: ExtractOptions = ExtractOptions(),
+              statsAcc: Option[BucketStatsAcc] = None): Dataset[ExtractedRow] = {
     import spark.implicits._
     val bucketed = withBucket(pages, numBuckets)
     val pruned =
@@ -302,7 +343,11 @@ object Pipeline {
       .mapPartitions { it =>
         // batched per-partition loop: compiled regex/state lives in JVM-static
         // textkit objects, so per-row cost is parse + transforms only
-        it.map { case (url, html, lang, bucket) => extractOne(url, html, lang, bucket, opts) }
+        it.map { case (url, html, lang, bucket) =>
+          val r = extractOne(url, html, lang, bucket, opts)
+          statsAcc.foreach(_.add((r.bucket, r.md_chars)))
+          r
+        }
       }
   }
 
@@ -337,7 +382,13 @@ object Pipeline {
     }
 
     val t0 = System.nanoTime()
-    val extracted = extract(spark, pages, numBuckets, skipBuckets = done)
+    // per-bucket stats accumulate ON the write job itself (BucketStatsAcc) —
+    // commit never reads back $outDir/data, which at 100 TB would be an
+    // avoidable full scan of the new output
+    val statsAcc = new BucketStatsAcc
+    spark.sparkContext.register(statsAcc, "graft-bucket-stats")
+    val extracted = extract(spark, pages, numBuckets, skipBuckets = done,
+      statsAcc = Some(statsAcc))
     // observed metrics ride the job (audit_utils fix-report counters analog,
     // SURVEY §2.4): no second pass, no accumulators to merge by hand
     val obs = org.apache.spark.sql.Observation(s"extract-commit")
@@ -348,18 +399,14 @@ object Pipeline {
     val observed = obs.get
     val elapsedMs = (System.nanoTime() - t0) / 1000000
 
-    // incremental stats: aggregate only the just-written buckets and merge
-    // with the previous manifest (no full-history rescan at commit time)
+    // incremental stats: the just-written buckets come from the accumulator,
+    // merged with the previous manifest (no rescan of any data at commit)
     val prevStats: Map[Int, graft.lineage.Lineage.PartitionStat] =
       graft.lineage.Lineage.snapshots(outDir).lastOption
         .map(_._2.map(s => s.bucket -> s).toMap).getOrElse(Map.empty)
         .filter { case (b, _) => done.contains(b) }
-    val newStats = spark.read.parquet(s"$outDir/data")
-      .filter(!$"bucket".isin(done.toSeq: _*))
-      .groupBy($"bucket")
-      .agg(count(lit(1)).as("doc_count"), sum($"md_chars").as("bytes"))
-      .as[(Int, Long, Long)].collect()
-      .map { case (b, n, bytes) => graft.lineage.Lineage.PartitionStat(b, n, bytes, elapsedMs) }
+    val newStats = statsAcc.value.toSeq.sortBy(_._1)
+      .map { case (b, (n, bytes)) => graft.lineage.Lineage.PartitionStat(b, n, bytes, elapsedMs) }
 
     val merged = (prevStats.values ++ newStats).toSeq.sortBy(_.bucket)
     val newDocs = newStats.map(_.docCount).sum

@@ -302,7 +302,16 @@ object ExtractOps {
     ("- 45,40%", "-45,40%", false),
     ("EUR ( 420 )", "EUR (420)", false),
     ("31/12/20 31/12/2024", "31/12/2024", false),
-    ("EUR .961.31", "EUR .961.31", true))
+    ("EUR .961.31", "EUR .961.31", true),
+    // CP1252 mojibake round-trip repair (text_normalize.py:16-64): Romanian
+    // UTF-8 read as CP1252 — the repair re-encodes and re-decodes, gated on
+    // the mojibake score and diacritic-gain rules
+    ("ÃŽnregistrÄƒri contabile", "Înregistrări contabile", false),
+    ("situaÈ›ii financiare", "situații financiare", false),
+    ("venituri È™i cheltuieli", "venituri și cheltuieli", false),
+    // Latin-1 fallback path: U+009B is unencodable in CPython's cp1252, so
+    // only the latin1 round trip can repair this one
+    ("situa\u00c8\u009bii anuale", "situații anuale", false))
 
   def cleanCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -186,6 +186,16 @@ object Ops {
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
       .distinct()
 
+  /** Eagerly materialize `out` (localCheckpoint partitions are GC'd by the
+    * ContextCleaner once the result is unreferenced — cached plans are NOT),
+    * then release the shared intermediates so repeated invocations within a
+    * long-lived session don't accumulate executor storage. */
+  private def materializeAndRelease(out: DataFrame, caches: DataFrame*): DataFrame = {
+    val result = out.localCheckpoint()
+    caches.foreach(_.unpersist())
+    result
+  }
+
   /** N-gram Jaccard near-dup pairs (relational set-overlap formulation:
     * shuffle on ngram, never a cross join). */
   def q15NgramJaccardPairs(s: SparkSession, dir: String, threshold: Double = 0.08): DataFrame = {
@@ -195,7 +205,7 @@ object Ops {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_ng", "n_b"), "id_b")
       .withColumn("jaccard", round($"n_inter".cast("double") /
@@ -203,6 +213,7 @@ object Ops {
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
+    materializeAndRelease(out, ng)
   }
 
   /** Winnowing-style document fingerprint: min 4-token-shingle hash. */
@@ -400,7 +411,7 @@ object Ops {
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_ng", "n_b"), "id_b")
       .withColumn("jaccard", round($"n_inter".cast("double") /
@@ -408,6 +419,7 @@ object Ops {
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
+    materializeAndRelease(out, ng, pruned)
   }
 
   /** Skew pattern: two-phase salted aggregation over a hot grouping key.
@@ -473,12 +485,13 @@ object Ops {
         round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (s, e) -> s + e)") /
           (col("qnrm") * col("nrm")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    val out = pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
     // no dedup needed: each candidate lives in exactly one cell, so a query's
     // nprobe distinct probe cells can each contribute it at most once total
+    materializeAndRelease(out, ranked)
   }
 
   /** Production IVF training: deterministic k-means (seeded init, fixed Lloyd
@@ -509,6 +522,19 @@ object Ops {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Trained-IVF ANN (q49): the PRODUCTION path end-to-end — a k-means
+    * codebook refined from the data (deterministic: init = first `cells`
+    * sample vectors by vec_id, fixed Lloyd iterations over a bounded
+    * vec_id-ordered sample) feeding the same broadcast-codebook cell
+    * equi-join search as q27. Every arithmetic step is an IEEE-ordered
+    * fold, so the DuckDB oracle reproduces the centroids bit-exactly with
+    * a recursive CTE running the same iterations in the same order. */
+  def q49IvfTrainedTopK(s: SparkSession, dir: String, k: Int = 5,
+                        nprobe: Int = 2): DataFrame = {
+    val vecs = vecsD(s, dir)
+    ivfTopK(vecs, trainIvfCentroids(vecs), k, nprobe)
+  }
+
   /** 64-bit simhash near-dup pairs via pigeonhole banding (4 x 16-bit
     * chunks): the production-width companion of q20. */
   def q29Simhash64Pairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
@@ -528,49 +554,100 @@ object Ops {
     val views = (0 until 4).map { k =>
       pmod(lit(2L * k + 3) * $"h" + lit(7L * k + 11), lit(MinhashP))
     }
-    val votes = for (k <- 0 until 4; j <- 0 until 16) yield
-      sum(when(shiftright(views(k), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"v_${k * 16 + j}")
-    val voted = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    voted.select($"doc_id", sim.as("simhash64"))
+    // packed vote lanes: instead of 64 sum(+-1) agg columns, each token
+    // contributes 4 bits per packed long (4 lanes x 16-bit counters), so the
+    // agg is 16 sums + a count. Per bit b: ones-count c_b rides lane b%4 of
+    // sum s_{b/16,(b%16)/4}; the +-1 vote is v_b = 2*c_b - n, so the simhash
+    // bit is set iff 2*c_b > n — identical semantics, 4x fewer agg columns.
+    // Lane-carry safety: lanes hold counts <= n, so n must stay < 2^16; a
+    // >65535-distinct-trigram document raises instead of silently wrapping
+    // (the fix at that scale is a two-level agg: pre-sum per (doc_id, salt)).
+    val packed = for (k <- 0 until 4; g <- 0 until 4) yield
+      (0 until 4).map { i =>
+        shiftleft(shiftright(views(k), g * 4 + i).bitwiseAND(lit(1L)), 16 * i)
+      }.reduce(_ + _)
+    val sums = (for (k <- 0 until 4; g <- 0 until 4) yield
+      sum(packed(k * 4 + g)).as(s"s_${k}_$g")) :+ count(lit(1)).as("n")
+    val voted = toks.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 until 64).map { b =>
+      val k = b / 16; val j = b % 16; val g = j / 4; val i = j % 4
+      val c = shiftright(col(s"s_${k}_$g"), 16 * i).bitwiseAND(lit(0xFFFFL))
+      when(c * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select($"doc_id",
+      when(col("n") > 65535L, raise_error(concat(lit("simhash64: doc "), $"doc_id",
+        lit(" has >65535 distinct trigrams; packed 16-bit vote lanes would overflow")))
+        .cast("long"))
+        .otherwise(sim).as("simhash64"))
   }
 
   /** Near-duplicate connected components (q47): the dedup keeper-selection
-    * step over the LSH candidate pairs. Iterative min-label propagation —
-    * each round one shuffle (edges ⋈ labels, groupBy min), O(log n) rounds
-    * to converge, localCheckpoint to cut lineage — the GraphX-free
-    * large-scale connected-components pattern. Every document gets a
-    * component id = the smallest doc_id reachable through candidate pairs
-    * (singletons map to themselves). */
-  def q47NeardupComponents(s: SparkSession, dir: String, maxIters: Int = 1000): DataFrame = {
+    * step over the LSH candidate pairs. Every document gets a component id =
+    * the smallest doc_id reachable through candidate pairs (singletons map
+    * to themselves). Delegates to [[connectedComponents]] — pointer-doubling
+    * min-label propagation, O(log diameter) rounds, one Spark job per round. */
+  def q47NeardupComponents(s: SparkSession, dir: String, maxIters: Int = 64): DataFrame = {
     val pairs = q18MinhashLshPairs(s, dir).select(col("id_a"), col("id_b"))
-    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val nodes = documents(s, dir).select(col("doc_id"))
+    connectedComponents(nodes, pairs.toDF("src", "dst"), maxIters)._1
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed connected components by min-label propagation WITH pointer
+    * doubling: each round every node takes the min over (its label, its
+    * neighbors' labels), then jumps once through the previous round's label
+    * table (labels are node ids, so comp(comp(v)) is defined). The jump
+    * doubles the propagation horizon per round — h_{k+1} >= 2*h_k + 1 — so a
+    * chain of n nodes converges in ~log2(n) rounds instead of n (the
+    * O(diameter) killer for duplicate-chain corpora at 100 TB).
+    *
+    * One Spark job per round: the convergence check rides the same action as
+    * the label materialization via `observe` (max(changed) collected by the
+    * eager localCheckpoint), not a second count() job. `edges` is read once
+    * per round from cache; `comp` is checkpoint-materialized, so the jump
+    * join re-reads bytes, never recomputes lineage.
+    *
+    * Returns (labels(doc_id, component), rounds). Non-convergence is an
+    * error, never a silent mislabel. */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def connectedComponents(nodes: DataFrame, edgesIn: DataFrame,
+                          maxIters: Int = 64): (DataFrame, Int) = {
+    val pairs = edgesIn.toDF("src", "dst")
+    val edges = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("src", "dst").cache()
-    var comp = documents(s, dir).select(col("doc_id"), col("doc_id").as("component"))
+    var comp = nodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val propagated = edges.join(comp, edges("src") === comp("doc_id"))
-        .select(col("dst").as("doc_id"), col("component"))
-        .union(comp)
+      // [1] neighbor min; the node's own label rides the union as `own` so
+      // the old label survives the agg without a second join
+      val step1 = edges.join(comp, edges("src") === comp("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"),
+          lit(null).cast("long").as("own"))
+        .union(comp.select(col("doc_id"), col("component"),
+          col("component").as("own")))
         .groupBy(col("doc_id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val changed = propagated.as("n").join(comp.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.component") =!= col("o.component")).count()
-      comp = propagated
-      converged = changed == 0
+        .agg(min(col("component")).as("c1"), min(col("own")).as("own"))
+      // [2] pointer jump through the PREVIOUS round's materialized labels
+      val lmap = comp.select(col("doc_id").as("t_id"), col("component").as("t_comp"))
+      val obs = org.apache.spark.sql.Observation(
+        s"cc-${ccObsId.incrementAndGet()}-$iter")
+      val next = step1.join(lmap, step1("c1") === lmap("t_id"))
+        .select(step1("doc_id"),
+          least(step1("c1"), col("t_comp")).as("component"), step1("own"))
+        .observe(obs, max(when(col("component") =!= col("own"), 1).otherwise(0))
+          .as("changed"))
+        .select(col("doc_id"), col("component"))
+        .localCheckpoint() // eager: the round's single job
+      comp = next
+      converged = obs.get("changed").asInstanceOf[Number].intValue() == 0
       iter += 1
     }
-    // propagation takes O(graph diameter) rounds — returning early would
-    // silently mislabel long chains, so non-convergence is an error, never
-    // a wrong answer (production fix for huge diameters: pointer doubling)
     require(converged, s"component propagation did not converge in $maxIters rounds")
     edges.unpersist() // comp is checkpoint-materialized; safe to release
-    comp.orderBy(col("doc_id"))
+    (comp, iter)
   }
 
   /** nearest `n` centroid indices by L2 (deterministic tiebreak on index). */

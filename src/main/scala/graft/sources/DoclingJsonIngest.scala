@@ -20,9 +20,12 @@ object DoclingJsonIngest {
     val root = mapper.readTree(json)
 
     def nodeAt(ref: String): JsonNode = {
-      // "#/texts/12" -> root.texts(12)
+      // "#/texts/12" -> root.texts(12); path() (not get()) so a $ref into a
+      // collection absent from the export (e.g. #/key_value_items/0, a legal
+      // DoclingDocument child we don't model) resolves to a missing node the
+      // visitor skips, instead of NPE-ing the whole ingest
       val parts = ref.stripPrefix("#/").split("/")
-      root.get(parts(0)).get(parts(1).toInt)
+      root.path(parts(0)).path(parts(1).toInt)
     }
 
     def bboxOf(n: JsonNode): Option[Bbox] = Option(n).map { b =>
@@ -65,6 +68,7 @@ object DoclingJsonIngest {
 
     def visit(ref: String, parentIdx: Int): Unit = {
       val n = nodeAt(ref)
+      if (n.isMissingNode) return // unmodeled/absent collection: skip
       val (pageNo, bbox) = provOf(n)
       val layer = n.path("content_layer").asText(ContentLayer.Body)
       ref.stripPrefix("#/").split("/")(0) match {

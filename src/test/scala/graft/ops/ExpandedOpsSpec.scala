@@ -42,6 +42,35 @@ class ExpandedOpsSpec extends AnyFunSuite {
     // component representative is a member of its own component
     for ((_, c) <- comp) assert(comp(c) == c, s"representative $c not self-rooted")
   }
+
+  test("pointer doubling: a 64-node chain converges in <= log2(n)+1 rounds, labels exact") {
+    import spark.implicits._
+    val n = 64
+    val nodes = spark.range(n).toDF("doc_id")
+    // worst case for plain min-label propagation: one path graph, min at the
+    // far end — O(diameter)=63 rounds without the jump, ~log2(64)=6 with it
+    val edges = spark.createDataset((0L until (n - 1).toLong).map(i => (i, i + 1)))
+      .toDF("src", "dst")
+    val (labels, rounds) = Ops.connectedComponents(nodes, edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), "chain must collapse to component 0")
+    val bound = (math.log(n) / math.log(2)).ceil.toInt + 1
+    assert(rounds <= bound, s"took $rounds rounds, pointer-doubling bound is $bound")
+  }
+
+  test("pointer doubling: disjoint components + singletons keep min-id labels") {
+    import spark.implicits._
+    val nodes = spark.range(10).toDF("doc_id")
+    // components: {0..4} (a cycle), {5,7,9} (a star on 7), singletons {6},{8}
+    val edges = spark.createDataset(Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (7L, 5L), (7L, 9L))).toDF("src", "dst")
+    val (labels, _) = Ops.connectedComponents(nodes, edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 5L, 6L -> 6L, 7L -> 5L, 8L -> 8L, 9L -> 5L))
+  }
 }
 
 /** Streaming extraction: the batch conversion flow over a streaming source

@@ -99,7 +99,7 @@ class OpsSpec extends AnyFunSuite {
   test("clean cells battery: no suspect cells survive cleaning") {
     import spark.implicits._
     val out = ExtractOps.cleanCells(spark, sf).collect()
-    assert(out.length == 11)
+    assert(out.length == ExtractOps.CleanCellFixtures.length)
     // the one deliberately-suspect input (EUR .961.31) remains flagged;
     // every fixture with a known clean form is repaired
     val byDirty = out.map(r => r.getString(1) -> r.getString(2)).toMap

@@ -75,6 +75,11 @@ class CellCleanSpec extends AnyFunSuite {
     "31/12/20 31/12/2024" -> "31/12/2024",
     "RON 471.371]" -> "RON 471.371",
     "115.784.991 RON 7" -> "RON 115.784.991",
+    // CP1252/Latin-1 mojibake round-trip repair (text_normalize.py:16-64)
+    "ÃŽnregistrÄƒri contabile" -> "Înregistrări contabile",
+    "situaÈ›ii financiare" -> "situații financiare",
+    "venituri È™i cheltuieli" -> "venituri și cheltuieli",
+    "situa\u00c8\u009bii anuale" -> "situații anuale",
   )
   for ((in, out) <- pairs) {
     test(s"clean_table_cell_text: '$in' -> '$out'") {
