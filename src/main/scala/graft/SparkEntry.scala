@@ -579,11 +579,17 @@ object SparkEntry {
     // (examples/long_report.docling.json transformed by our battery vs the
     // committed examples/long_report.md) — expected values are ground truth
     // measured from those artifacts, like the q35 fixture battery
+    // q44 runs the REAL two-channel repair (committed docling tree + the
+    // committed PDF's glyph channel through repairDocWithTextLayer): 228
+    // glyph reconstructions + 4 text-layer cell fills lift byte-identical
+    // parity from 411 to 502 of 555 reference lines; the remaining 53 are
+    // classified line-by-line in GOLDEN_RESIDUE.md (OCR-raster-only)
     "q44_reference_golden" ->
       """SELECT * FROM (VALUES ('long_report', 19, 16, 16, 6, 16, TRUE,
-        |  411, 555, 5808, 5815))
+        |  228, 4, 502, 555, 5811, 5815))
         | AS t(name, n_pages, n_tables, collapsed, flagship_cols, md_tables,
-        |      headings_present, equal_lines, want_lines, tokens_covered, tokens_total)
+        |      headings_present, glyph_repaired, cells_filled,
+        |      equal_lines, want_lines, tokens_covered, tokens_total)
         |ORDER BY name""".stripMargin,
 
     // docling-JSON payloads through the distributed pipeline: items = title

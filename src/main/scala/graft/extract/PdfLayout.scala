@@ -80,14 +80,24 @@ object PdfLayout {
 
   /** Build a Doc from a PDF payload. */
   def buildDoc(url: String, pdf: Array[Byte], pageHeight: Double = 792.0): Doc = {
-    val streams = PdfText.contentStreams(pdf)
+    // real-world PDFs go through the document model (page tree, decoded
+    // fonts, real page sizes); minimal/synthetic PDFs without a parseable
+    // tree fall back to the content-scan path — both feed the same layout
+    val modelPages: Seq[(Int, Double, Double, Seq[SizedGlyph])] =
+      try {
+        val doc = new PdfDoc.Document(pdf)
+        doc.pages.map(pg => (pg.pageNo, pg.width, pg.height, doc.interpretPageSized(pg)))
+      } catch { case _: Exception => Seq.empty }
+    val pageInputs: Seq[(Int, Double, Double, Seq[SizedGlyph])] =
+      if (modelPages.nonEmpty) modelPages
+      else PdfText.contentStreams(pdf).zipWithIndex.map { case (cs, pi) =>
+        (pi + 1, 612.0, pageHeight, PdfText.interpretSized(cs, pageHeight))
+      }
     val items = mutable.ArrayBuffer.empty[DocItem]
     val pages = mutable.ArrayBuffer.empty[PageDim]
     var idx = 0
-    for ((cs, pi) <- streams.zipWithIndex) {
-      val pageNo = pi + 1
-      pages += PageDim(pageNo, 612.0, pageHeight)
-      val sized = PdfText.interpretSized(cs, pageHeight)
+    for ((pageNo, pageW, pageH, sized) <- pageInputs) {
+      pages += PageDim(pageNo, pageW, pageH)
       val lines = linesOf(sized)
       // table bands: maximal runs of consecutive lines sharing a >=2-column
       // x-start signature become TableData; everything else flows to blocks.

@@ -31,6 +31,9 @@ object PdfText {
     case _ => 556
   }
 
+  /** Fallback advance for fonts without a /Widths table (PdfDoc). */
+  private[extract] def advanceWidth(c: Char): Double = advance(c)
+
   private final class Lexer(s: String) {
     var i = 0
     def eof: Boolean = i >= s.length

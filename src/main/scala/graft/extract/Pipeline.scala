@@ -224,7 +224,7 @@ object Pipeline {
     if (opts.spacingFix && isPdf(htmlBytes)) {
       val pagesToFix = SpacingFix.detectSpacingPages(parsed)
       if (!pagesToFix.exists(_.isEmpty)) {
-        glyphs = PdfText.extractGlyphs(htmlBytes)
+        glyphs = PdfDoc.extractGlyphsAuto(htmlBytes)
         val (fixed, report) = SpacingFix.fixSpacedItems(parsed, glyphs, pagesToFix)
         parsed = fixed
         spacingFixed = report.tableCells + report.textItems
@@ -285,6 +285,20 @@ object Pipeline {
     val pages = SpacingFix.detectSpacingPages(doc)
     if (pages.exists(_.isEmpty)) (doc, SpacingFix.Report(0, 0, 0))
     else SpacingFix.fixSpacedItems(doc, glyphs, pages)
+  }
+
+  /** Full two-channel repair against a real PDF text layer: spacing repair
+    * (repairDoc) plus empty/suspect table-cell restoration from the page's
+    * glyphs (SpacingFix.fillCellsFromGlyphs) — the q48 shape running on real
+    * divergence: an externally-parsed tree whose table layer dropped content
+    * the page still carries. Returns (repaired doc, spacing report, cells
+    * filled). */
+  def repairDocWithTextLayer(doc: Doc,
+      glyphs: Map[Int, Seq[graft.textkit.SpacingRepair.Glyph]])
+      : (Doc, SpacingFix.Report, Int) = {
+    val (spacingFixed, report) = repairDoc(doc, glyphs)
+    val (filled, n) = SpacingFix.fillCellsFromGlyphs(spacingFixed, glyphs)
+    (filled, report, n)
   }
 
   /** Input projection + bucket assignment (codegen'd xxhash64, no UDF). */

@@ -124,6 +124,55 @@ object SpacingFix {
     (doc.copy(items = items), Report(tableReplaced, textReplaced, pagesProcessed))
   }
 
+  /** Text-layer cell restoration: the engine's counterpart of the
+    * reference's ACCEPTED full-page OCR re-parse (conversion_utils.py:387-394
+    * swaps in the OCR document wholesale — the committed golden's tables
+    * carry currency tokens the first parse dropped). Where the reference
+    * re-reads the page raster with tesseract, we re-read the page's vector
+    * text layer: for each table cell whose text is EMPTY or a suspect
+    * currency value, reconstruct the cell region's glyphs and accept by the
+    * same rules the OCR merge uses (_should_replace_numeric_cell,
+    * table_fixes.py:548-583; non-spaced non-empty for empty cells). */
+  def fillCellsFromGlyphs(doc: Doc, pageGlyphs: Map[Int, Seq[Glyph]],
+                          pad: Double = 1.0): (Doc, Int) = {
+    var filled = 0
+    val pageHeights = doc.pageHeights
+    val items = doc.items.map { item =>
+      item.table match {
+        case Some(t) if pageGlyphs.get(item.pageNo).exists(_.nonEmpty) =>
+          val glyphs = pageGlyphs(item.pageNo)
+          val cells = t.cells.map { cell =>
+            if (cell.bbox.isEmpty) cell
+            else {
+              // every cell is a candidate, mirroring merge_suspect_table_cells
+              // (table_fixes.py:695-743 tries ALL non-empty cells, gated only
+              // by the _should_replace_numeric_cell acceptance); empty cells
+              // additionally restore from the layer when the region holds
+              // real non-spaced text the first parse dropped
+              val base = Option(cell.text).getOrElse("")
+              val empty = base.trim.isEmpty
+              val bb = pageHeights.get(item.pageNo)
+                .map(cell.bbox.get.toTopLeft).getOrElse(cell.bbox.get)
+              var rec = reconstruct(glyphs, bb, pad)
+              // detector bboxes can undershoot a lone glyph (a "-" dash sits
+              // a point or two outside): for EMPTY cells only, retry with a
+              // wider clip before giving up
+              if (empty && rec.isEmpty) rec = reconstruct(glyphs, bb, pad * 3)
+              val accept =
+                if (empty)
+                  rec.nonEmpty && rec.length <= 80 && !Predicates.isSpacedText(rec)
+                else rec.nonEmpty && rec != base &&
+                  CellClean.shouldReplaceNumericCell(base, rec)
+              if (accept) { filled += 1; cell.copy(text = rec) } else cell
+            }
+          }
+          item.copy(table = Some(t.copy(cells = cells)))
+        case _ => item
+      }
+    }
+    (doc.copy(items = items), filled)
+  }
+
   /** picture_kpi_extract.py:196-250 — attach KPI-like picture text as
     * captions (max 30/doc, skipped when already present in the doc text). */
   def addPictureKpiCaptions(doc: Doc,

@@ -559,7 +559,16 @@ object ExtractOps {
       val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$name.docling.json"))
       val want = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$name.md"))
       val doc0 = graft.sources.DoclingJsonIngest.parse(json, s"doc://$name")
-      val (doc, counters) = DocTransforms.applyAll(doc0)
+      // REAL two-channel repair: the committed docling tree (damaged text
+      // layer) against the committed PDF's own glyph geometry — the q48
+      // shape on the reference's actual artifacts. Residual non-identical
+      // lines vs the golden are classified in GOLDEN_RESIDUE.md (all need
+      // the tesseract raster channel or replicate its OCR errors).
+      val pdf = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/$name.pdf"))
+      val glyphs = graft.extract.PdfDoc.extractGlyphs(pdf)
+      val (repaired, report, filled) = Pipeline.repairDocWithTextLayer(doc0, glyphs)
+      val (doc, counters) = DocTransforms.applyAll(repaired)
       val got = MarkdownRender.postProcess(MarkdownRender.render(doc))
       val gl = got.split("\n", -1)
       val wl = want.split("\n", -1)
@@ -571,11 +580,12 @@ object ExtractOps {
       (name, doc0.pages.length, doc0.items.count(_.table.nonEmpty),
         counters("collapsed_tables"), doc.items.flatMap(_.table).head.numCols,
         MarkdownPost.markdownTableCount(got), headingsPresent,
+        report.tableCells + report.textItems, filled,
         equalLines, wl.length,
         wantTokens.count(gotTokens.contains), wantTokens.length)
     }.toDF("name", "n_pages", "n_tables", "collapsed", "flagship_cols",
-      "md_tables", "headings_present", "equal_lines", "want_lines",
-      "tokens_covered", "tokens_total")
+      "md_tables", "headings_present", "glyph_repaired", "cells_filled",
+      "equal_lines", "want_lines", "tokens_covered", "tokens_total")
       .orderBy($"name")
   }
 
