@@ -554,8 +554,11 @@ object ExtractOps {
     * derived from the reference artifacts (like the q35 fixtures). */
   def referenceGolden(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // artifact directory is a session conf (driver-side, captured into the
+    // closure) so deployments point the parity gate anywhere
+    val base = s.conf.getOption("spark.graft.referenceExamples")
+      .getOrElse("/root/reference/examples")
     s.createDataset(Seq("long_report")).map { name =>
-      val base = "/root/reference/examples"
       val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$name.docling.json"))
       val want = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$base/$name.md"))
       val doc0 = graft.sources.DoclingJsonIngest.parse(json, s"doc://$name")

@@ -307,7 +307,11 @@ object Ops {
     val chunkCols = (0 until nChunks).map { c =>
       shiftright(hashCol, c * width).bitwiseAND(lit(mask))
     }
-    val chunks = sh.select(col("doc_id"), hashCol.as("sh"),
+    // materialize the signature relation (one row per doc) before the
+    // self-join: both join sides would otherwise recompute the full
+    // trigram-explode + vote aggregation — the dominant cost of the query
+    val shM = sh.localCheckpoint()
+    val chunks = shM.select(col("doc_id"), hashCol.as("sh"),
         posexplode(array(chunkCols: _*)))
       .toDF("doc_id", "sh", "chunk", "cval")
     chunks.as("x").join(chunks.as("y"),

@@ -1,0 +1,133 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Unit pins for the real-world PDF parser (PdfDoc) independent of the
+  * reference artifact: xref-driven object loading, WinAnsi + /Differences
+  * simple fonts with /Widths, Identity-H CID fonts with ToUnicode CMaps,
+  * Tm-scaled text, TJ kerning, octal escapes, and form-XObject recursion. */
+class PdfDocSpec extends AnyFunSuite {
+
+  /** Hand-assembled classic PDF: xref table, one page (300x200), one WinAnsi
+    * TrueType font with /Widths and /Differences, one Type0/Identity-H font
+    * with a ToUnicode CMap, and a form XObject showing text through a
+    * translation matrix. */
+  private def buildPdf(): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0041>
+        |<0002> <021B>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0030>
+        |endbfrange
+        |endcmap end""".stripMargin
+    val form = "BT /F1 10 Tf 5 5 Td (ok) Tj ET"
+    val content =
+      // WinAnsi text with octal escape (\342 = 0xE2 = a-circumflex), then a
+      // TJ run with kerning, then Tm-scaled CID text, then the form XObject
+      """BT
+        |/F1 12 Tf 10 150 Td (V\342rf) Tj
+        |[(A) -2000 (B)] TJ
+        |/F2 1 Tf 20 0 0 20 10 100 Tm <000100020010> Tj
+        |ET
+        |q 1 0 0 1 50 50 cm /Fx Do Q""".stripMargin
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 300 200 ] /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> /XObject << /Fx 9 0 R >> >> >>",
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /TrueType /BaseFont /Test /Encoding << /BaseEncoding " +
+        "/WinAnsiEncoding /Differences [ 86 /Tcommaaccent ] >> /FirstChar 65 " +
+        "/Widths [ 600 650 ] >>",
+      "<< /Type /Font /Subtype /Type0 /BaseFont /TestCID /Encoding /Identity-H " +
+        "/DescendantFonts [ 7 0 R ] /ToUnicode 8 0 R >>",
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /TestCID /DW 500 " +
+        "/W [ 1 [ 700 800 ] 16 18 400 ] >>",
+      s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream",
+      s"<< /Type /XObject /Subtype /Form /BBox [ 0 0 100 100 ] /Resources " +
+        s"<< /Font << /F1 5 0 R >> >> /Length ${form.length} >>\nstream\n$form\nendstream")
+    val sb = new StringBuilder("%PDF-1.6\n")
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for ((o, i) <- objs.zipWithIndex) {
+      offsets += sb.length
+      sb ++= s"${i + 1} 0 obj\n$o\nendobj\n"
+    }
+    val xref = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(off => sb ++= f"$off%010d 00000 n \n")
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n"
+    sb.result().getBytes(ISO_8859_1)
+  }
+
+  private lazy val pdf = buildPdf()
+  private lazy val doc = new PdfDoc.Document(pdf)
+  private lazy val glyphs = doc.interpretPage(doc.pages.head)
+  private def text = glyphs.map(_.c).mkString
+
+  test("xref-driven load finds the page tree with real MediaBox") {
+    assert(doc.pages.length == 1)
+    assert(doc.pages.head.width == 300.0 && doc.pages.head.height == 200.0)
+  }
+
+  test("WinAnsi simple font decodes octal escapes and /Differences overrides") {
+    // /Differences maps code 86 ('V') to Tcommaaccent; octal \342 -> â
+    assert(text.startsWith("Țârf"))
+  }
+
+  test("CID font decodes via ToUnicode bfchar + bfrange") {
+    // <0001>=A, <0002>=ț (U+021B), <0010>=0 (bfrange base 0x30)
+    assert(text.contains("Aț0"))
+  }
+
+  test("form XObject text is interpreted through cm translation") {
+    assert(text.endsWith("ok"))
+    val ok = glyphs.takeRight(2)
+    // 50 (cm) + 5 (Td) = x 55; y = 200 - (55 + ...) flipped top-left
+    assert(math.abs(ok.head.x0 - 55.0) < 1e-6)
+    assert(ok.head.y0 < 200 && ok.head.y0 > 130)
+  }
+
+  test("Tm scale drives device font size (Tf 1 + 20x Tm = 20pt glyphs)") {
+    val sized = doc.interpretPageSized(doc.pages.head)
+    // the CID glyphs (ț, 0 are unique to the F2 run; "A" also appears in F1)
+    val cid = sized.filter(sg => sg.glyph.c == "ț" || sg.glyph.c == "0")
+    assert(cid.nonEmpty && cid.forall(sg => math.abs(sg.fontSize - 20.0) < 1e-9))
+  }
+
+  test("TJ kerning displaces subsequent glyphs by -adj/1000*size") {
+    val a = glyphs.find(_.c == "A").get
+    val b = glyphs.find(_.c == "B").get
+    // A width 600/1000*12 = 7.2; kern -(-2000)/1000*12 = +24
+    assert(math.abs((b.x0 - a.x0) - (7.2 + 24.0)) < 1e-6)
+  }
+
+  test("/Widths drive advances (FirstChar offset)") {
+    // 'V' is code 86 -> outside Widths [65, 66] -> falls back; 'A'(65)=600
+    val a = glyphs.find(_.c == "A").get
+    assert(math.abs((a.x1 - a.x0) - 7.2) < 1e-6)
+  }
+
+  test("extractGlyphsAuto matches the legacy parser byte-for-byte on synthetic PDFs") {
+    val syn = SyntheticPdf.pdfFor(Seq(Seq("hello world", "second line")),
+      spreadLetterLine = Some((1, 1)))
+    val legacy = PdfText.extractGlyphs(syn)
+    val model = PdfDoc.extractGlyphsAuto(syn)
+    assert(model.keySet == legacy.keySet)
+    for (p <- legacy.keySet) {
+      assert(model(p).length == legacy(p).length, s"page $p glyph count")
+      for ((a, b) <- model(p).zip(legacy(p))) {
+        assert(a.c == b.c)
+        assert(math.abs(a.x0 - b.x0) < 1e-9 && math.abs(a.y0 - b.y0) < 1e-9 &&
+               math.abs(a.x1 - b.x1) < 1e-9 && math.abs(a.y1 - b.y1) < 1e-9, s"$a vs $b")
+      }
+    }
+  }
+}
