@@ -146,10 +146,16 @@ object Bench {
       cpusN >= 32
     var scalingJson = ""
     if (doScaling) {
+      // the 2->8 series runs on a smaller same-input corpus so the 2-core
+      // legs don't dominate bench wall time (both levels of a series always
+      // read the SAME parquet)
+      val smallDir = java.nio.file.Files.createTempDirectory("graft-bench-small").toString
+      pagesDF.limit(math.min(extracted, 24000L).toInt).coalesce(32)
+        .write.mode("overwrite").parquet(smallDir)
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
-      def runAt(n: Int, warm: Boolean): Double = {
+      def runAt(n: Int, dir: String): Double = {
         val s = SparkSession.builder()
           .master(s"local[$n]")
           .appName(s"graft-bench-scale-$n")
@@ -161,11 +167,10 @@ object Bench {
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         s.sparkContext.setLogLevel("ERROR")
-        val df = s.read.parquet(pagesDir)
+        val df = s.read.parquet(dir)
         def one(): Long = graft.extract.Pipeline
           .extract(s, df, numBuckets = numBuckets, shuffle = !fused, opts = flowOpts).count()
-        if (warm) one()
-        // drain the previous level's garbage so an 8-thread run is not
+        // drain the previous level's garbage so a low-thread run is not
         // charged the 32-thread run's major collections (one shared JVM)
         System.gc()
         val (n1, sec) = time(one())
@@ -174,12 +179,17 @@ object Bench {
         org.apache.spark.sql.SparkSession.clearDefaultSession()
         n1 / math.max(sec, 1e-9)
       }
-      runAt(8, warm = false); runAt(32, warm = false) // per-level JVM warm
-      val pairs = (0 until 3).map(_ => (runAt(8, warm = false), runAt(32, warm = false)))
-      val effs = pairs.map { case (d8, d32) => (d32 / d8) / 4.0 }.sorted
-      val medianEff = effs(effs.length / 2) // 3 pairs: true middle
-      val pairsJson = pairs.map { case (a, b) => f"[$a%.1f,$b%.1f]" }.mkString("[", ",", "]")
-      scalingJson = f""","scaling_pairs_8_32":$pairsJson,"scaling_efficiency_8_32":$medianEff%.3f"""
+      def series(lo: Int, hi: Int, dir: String): String = {
+        runAt(lo, dir); runAt(hi, dir) // per-level JVM warm (untimed)
+        val pairs = (0 until 3).map(_ => (runAt(lo, dir), runAt(hi, dir)))
+        val effs = pairs.map { case (a, b) => (b / a) / (hi.toDouble / lo) }.sorted
+        val medianEff = effs(effs.length / 2) // 3 pairs: true middle
+        val pairsJson = pairs.map { case (a, b) => f"[$a%.1f,$b%.1f]" }.mkString("[", ",", "]")
+        f""","scaling_pairs_${lo}_$hi":$pairsJson,"scaling_efficiency_${lo}_$hi":$medianEff%.3f"""
+      }
+      // 2->8 is the mandated N->4N pair (BASELINE.md); 8->32 documents the
+      // single-host ceiling (VM steal + shared memory bandwidth)
+      scalingJson = series(2, 8, smallDir) + series(8, 32, pagesDir)
     }
 
     println(
