@@ -76,6 +76,8 @@ object SparkEntry {
     "q47_neardup_components" -> ((s, d) => Ops.q47NeardupComponents(s, d)),
     "q48_two_channel_repair" -> (ExtractOps.twoChannelRepair(_, _)),
     "q49_ivf_trained" -> ((s, d) => Ops.q49IvfTrainedTopK(s, d)),
+    "q50_paragraph_dedup" -> (Ops.q50ParagraphDedup(_, _)),
+    "q51_repetition_stats" -> (Ops.q51RepetitionStats(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -697,6 +699,42 @@ object SparkEntry {
          |  PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank FROM pairs)
          |SELECT q_id AS vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
          |ORDER BY vec_id, rank""".stripMargin,
+
+    // corpus-wide paragraph dedup: 12-word paragraph units, polyhash,
+    // occurrence counts joined back (C4/RefinedWeb unit-dedup shape)
+    "q50_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |paras AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(0, CAST(ceil(len(w)/12.0) AS INTEGER) - 1),
+         |    i -> array_to_string(w[i*12+1 : i*12+12], ' '))) AS para FROM d),
+         |hashed AS (SELECT doc_id, ${phSql("para")} AS h FROM paras),
+         |freq AS (SELECT h, count(*) AS n_occ FROM hashed GROUP BY h),
+         |per AS (SELECT doc_id, count(*) AS n_paras,
+         |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+         |  FROM hashed JOIN freq USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_paras, n_dup_paras,
+         | round(CAST(n_dup_paras AS DOUBLE) / n_paras, 6) AS dup_ratio
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    // within-doc repetition quality signals (duplicate-word fraction,
+    // most-common-trigram share)
+    "q51_repetition_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |words AS (SELECT doc_id, len(w) AS n_words,
+        |  len(list_distinct(w)) AS distinct_words FROM d),
+        |tri AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ng
+        |  FROM d, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        |tc AS (SELECT doc_id, ng, count(*) AS c FROM tri GROUP BY doc_id, ng),
+        |ts AS (SELECT doc_id, max(c) AS top_trigram_n,
+        |  CAST(sum(c) AS BIGINT) AS trigram_total FROM tc GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(w.n_words AS INTEGER) AS n_words,
+        | CAST(w.distinct_words AS INTEGER) AS distinct_words,
+        | round(1.0 - CAST(w.distinct_words AS DOUBLE) / w.n_words, 6) AS dup_word_ratio,
+        | ts.top_trigram_n, ts.trigram_total,
+        | round(CAST(ts.top_trigram_n AS DOUBLE) / ts.trigram_total, 6) AS top_trigram_ratio
+        |FROM words w JOIN ts ON w.doc_id = ts.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     // two-channel repair: every row's letter-spaced text item must be
     // reconstructed exactly from the PDF glyph channel (the reference's

@@ -261,20 +261,75 @@ object PdfDoc {
       val offs = xrefOffsets
       if (offs.nonEmpty) offs.foreach { case (num, off) => parseAt(num, off) }
       if (m.isEmpty) {
-        // fallback: raw object scan (synthetic/minimal PDFs without xref)
-        val objRe = java.util.regex.Pattern.compile("(?m)^\\s*(\\d+)\\s+\\d+\\s+obj\\b")
-        val mt = objRe.matcher(s)
-        while (mt.find()) {
-          val num = mt.group(1).toInt
-          val p = new ObjParser(s, mt.end())
-          try {
-            val v = p.value()
-            p.ws()
-            m(num) = attachStream(v, p)
-          } catch { case _: Exception => }
+        // fallback: raw object scan (PDF 1.5+ with xref STREAMS has no
+        // classic xref keyword; synthetic/minimal PDFs may lack xref too).
+        // The scan skips past each attached stream body so binary payloads
+        // containing "N 0 obj" bytes cannot inject phantom objects.
+        val objRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+        var pos = 0
+        var continue = true
+        while (continue) {
+          val mt = objRe.matcher(s)
+          if (!mt.find(pos)) continue = false
+          else {
+            val num = mt.group(1).toInt
+            val p = new ObjParser(s, mt.end())
+            try {
+              val v = p.value()
+              p.ws()
+              val attached = attachStream(v, p)
+              m(num) = attached
+              pos = attached match {
+                case PStream(_, raw) =>
+                  // resume past the raw body (p.i points at "stream")
+                  val bodyStart = s.indexOf("stream", p.i) + "stream".length
+                  bodyStart + raw.length
+                case _ => p.i
+              }
+            } catch { case _: Exception => pos = mt.end() }
+          }
         }
       }
+      // PDF 1.5+ object streams: explode /Type /ObjStm payloads (N pairs of
+      // "objnum offset" then the serialized objects at /First + offset).
+      // Direct definitions win over ObjStm members on conflict.
+      val fromObjStm = mutable.HashMap.empty[Int, P]
+      m.values.toList.foreach {
+        case st @ PStream(d, _) if d.v.get("Type").contains(PName("ObjStm")) =>
+          try {
+            val data = decodeStream(st, m)
+            val n = d.v.get("N").collect { case PNum(v) => v.toInt }.getOrElse(0)
+            val first = d.v.get("First").collect { case PNum(v) => v.toInt }.getOrElse(0)
+            val hp = new ObjParser(data, 0)
+            val pairs = (0 until n).flatMap { _ =>
+              (hp.value(), hp.value()) match {
+                case (PNum(objNum), PNum(off)) => Some((objNum.toInt, off.toInt))
+                case _ => None
+              }
+            }
+            pairs.foreach { case (objNum, off) =>
+              val op = new ObjParser(data, first + off)
+              try fromObjStm(objNum) = op.value()
+              catch { case _: Exception => }
+            }
+          } catch { case _: Exception => }
+        case _ =>
+      }
+      fromObjStm.foreach { case (num, v) => if (!m.contains(num)) m(num) = v }
       m.toMap
+    }
+
+    /** Stream decode usable during construction (before `objects` is final):
+      * indirect /Length already handled by attachStream's endstream scan. */
+    private def decodeStream(st: PStream, pool: mutable.HashMap[Int, P]): String = {
+      val filters = st.dict.v.get("Filter") match {
+        case Some(PName(n)) => List(n)
+        case Some(PArr(a)) => a.collect { case PName(n) => n }.toList
+        case _ => Nil
+      }
+      if (filters.contains("FlateDecode")) inflate(st.raw).getOrElse("")
+      else if (filters.isEmpty) st.raw
+      else ""
     }
 
     def deref(p: P): P = p match {

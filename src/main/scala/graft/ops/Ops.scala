@@ -526,6 +526,53 @@ object Ops {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Paragraph-level exact dedup (q50): the corpus-wide unit-dedup pass web
+    * pipelines run before near-dup (the C4/RefinedWeb shape — drop repeated
+    * boilerplate paragraphs across the corpus). Unit = fixed 12-word
+    * paragraph; plan = explode + hash groupBy + hash equi-join back — one
+    * shuffle family, never a pair join, so it survives any corpus size. */
+  def q50ParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val paras = documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, cast(ceil(size(w)/12.0) as int)-1)," +
+          " i -> concat_ws(' ', slice(w, i*12+1, 12)))")).as("para"))
+      .select($"doc_id", polyhash($"para").as("h"))
+    val freq = paras.groupBy($"h").agg(count(lit(1)).as("n_occ"))
+    paras.join(freq, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when($"n_occ" > 1, 1).otherwise(0)).as("n_dup_paras"))
+      .withColumn("dup_ratio",
+        round($"n_dup_paras".cast("double") / $"n_paras", 6))
+      .orderBy($"doc_id")
+  }
+
+  /** Within-document repetition stats (q51): the Gopher-class repetition
+    * quality signals (duplicate-word fraction, most-common-trigram share) —
+    * all row-local aggregation, no shuffle beyond the per-doc groupBy. */
+  def q51RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+    val words = toks.select($"doc_id",
+      size($"w").as("n_words"), size(array_distinct($"w")).as("distinct_words"))
+    val tri = toks
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
+      .groupBy($"doc_id", $"ng").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_trigram_n"), sum($"c").as("trigram_total"))
+    words.join(tri, "doc_id")
+      .select($"doc_id", $"n_words", $"distinct_words",
+        round(lit(1.0) - $"distinct_words".cast("double") / $"n_words", 6)
+          .as("dup_word_ratio"),
+        $"top_trigram_n", $"trigram_total",
+        round($"top_trigram_n".cast("double") / $"trigram_total", 6)
+          .as("top_trigram_ratio"))
+      .orderBy($"doc_id")
+  }
+
   /** Trained-IVF ANN (q49): the PRODUCTION path end-to-end — a k-means
     * codebook refined from the data (deterministic: init = first `cells`
     * sample vectors by vec_id, fixed Lloyd iterations over a bounded

@@ -115,6 +115,39 @@ class PdfDocSpec extends AnyFunSuite {
     assert(math.abs((a.x1 - a.x0) - 7.2) < 1e-6)
   }
 
+  test("PDF 1.5 object streams: dict objects inside a compressed ObjStm resolve") {
+    // catalog/pages/page/font live inside one FlateDecode'd /Type /ObjStm;
+    // no classic xref, no trailer keyword (the 1.5+ shape crawl PDFs have)
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 400 300 ] /Contents 5 0 R " +
+        "/Resources << /Font << /F1 6 0 R >> >> >>"),
+      6 -> "<< /Type /Font /Subtype /TrueType /BaseFont /T /Encoding /WinAnsiEncoding >>")
+    val bodies = inner.map(_._2)
+    val offs = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = inner.map(_._1).zip(offs).map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val payload = header + bodies.mkString("\n") + "\n"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(payload.getBytes(ISO_8859_1)); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val packed = new String(out.toByteArray, ISO_8859_1)
+    val content = "BT /F1 12 Tf 10 100 Td (hi objstm) Tj ET"
+    val sb = new StringBuilder("%PDF-1.5\n")
+    sb ++= s"4 0 obj\n<< /Type /ObjStm /N ${inner.length} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${packed.length} >>\nstream\n$packed\nendstream\nendobj\n"
+    sb ++= s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n"
+    sb ++= "%%EOF\n"
+    val glyphs = PdfDoc.extractGlyphs(sb.result().getBytes(ISO_8859_1))
+    assert(glyphs.keySet == Set(1))
+    assert(glyphs(1).map(_.c).mkString == "hiobjstm") // spaces advance only
+    val doc = new PdfDoc.Document(sb.result().getBytes(ISO_8859_1))
+    assert(doc.pages.head.width == 400.0 && doc.pages.head.height == 300.0)
+  }
+
   test("extractGlyphsAuto matches the legacy parser byte-for-byte on synthetic PDFs") {
     val syn = SyntheticPdf.pdfFor(Seq(Seq("hello world", "second line")),
       spreadLetterLine = Some((1, 1)))
