@@ -260,11 +260,15 @@ object PdfDoc {
         } else v
       val offs = xrefOffsets
       if (offs.nonEmpty) offs.foreach { case (num, off) => parseAt(num, off) }
-      if (m.isEmpty) {
-        // fallback: raw object scan (PDF 1.5+ with xref STREAMS has no
-        // classic xref keyword; synthetic/minimal PDFs may lack xref too).
-        // The scan skips past each attached stream body so binary payloads
-        // containing "N 0 obj" bytes cannot inject phantom objects.
+      // raw object scan — the only source for PDF 1.5+ files (xref STREAMS,
+      // no classic xref keyword) and minimal PDFs, and a supplement for
+      // hybrid files whose classic xref omits stream-compressed objects.
+      // Classic-xref-loaded definitions WIN (they are the live revision);
+      // the scan only fills absentees. It skips past each attached stream
+      // body so binary payloads containing "N 0 obj" bytes cannot inject
+      // phantom objects.
+      locally {
+        val fromXref = m.keySet.toSet
         val objRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
         var pos = 0
         var continue = true
@@ -278,7 +282,7 @@ object PdfDoc {
               val v = p.value()
               p.ws()
               val attached = attachStream(v, p)
-              m(num) = attached
+              if (!fromXref.contains(num)) m(num) = attached
               pos = attached match {
                 case PStream(_, raw) =>
                   // resume past the raw body (p.i points at "stream")

@@ -31,6 +31,31 @@ object EventStream {
     windowedCounts(spark.read.parquet(s"$sfDir/events.parquet"))
       .orderBy("hour_start", "event_type")
 
+  /** Streaming exact dedup: dropDuplicates on the business key with a
+    * watermark bounding state — the streaming twin of q13/q14's exact-dedup
+    * pass (a training-data pipeline ingesting a crawl feed dedups
+    * incrementally instead of re-running batch dedup per drop). State is
+    * bounded: keys older than the watermark are evicted. */
+  def dedupStream(spark: SparkSession, sourceDir: String,
+                  sinkTable: String): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val events = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(sourceDir)
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkTable)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming form over a file source; returns the started query writing to
     * an in-memory table named `sinkTable`. */
   def stream(spark: SparkSession, sourceDir: String, sinkTable: String): StreamingQuery = {

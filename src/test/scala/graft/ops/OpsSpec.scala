@@ -125,6 +125,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
   }
+
+  test("streaming exact dedup equals batch distinct, duplicates included in the feed") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    // feed = events UNION a replayed slice (exact duplicate rows, the
+    // at-least-once-ingest shape streaming dedup exists for)
+    events.union(events.limit(200)).repartition(6)
+      .write.mode("overwrite").parquet(dir.toString)
+    val q = graft.streaming.EventStream.dedupStream(spark, dir.toString, "dedup_out")
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT event_id FROM dedup_out").as[Long].collect().sorted
+    val batch = events.select($"event_id").distinct().as[Long].collect().sorted
+    assert(streamed.length == batch.length, s"${streamed.length} vs ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
 }
 
 /** IVF ANN: deterministic quantizer, bounded ranks, high recall vs brute. */
