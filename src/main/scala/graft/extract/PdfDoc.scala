@@ -190,6 +190,13 @@ object PdfDoc {
     }
   }
 
+  /** Digit-string to Int that can never throw: -1 on overflow/garbage. */
+  private def safeInt(digits: String): Int = {
+    if (digits.isEmpty || digits.length > 10) return -1
+    val v = digits.toLong
+    if (v > Int.MaxValue) -1 else v.toInt
+  }
+
   // ------------------------------------------------------------- document
   final class Document(pdf: Array[Byte]) {
     private val s = new String(pdf, ISO_8859_1)
@@ -208,21 +215,28 @@ object PdfDoc {
           val hm = header.matcher(s)
           hm.region(pos, math.min(pos + 64, s.length))
           if (hm.lookingAt()) {
-            val start = hm.group(1).toInt
-            val count = hm.group(2).toInt
-            pos = pos + hm.end() - hm.regionStart()
-            var k = 0
-            val em = entry.matcher(s)
-            var epos = pos
-            while (k < count) {
-              em.region(epos, math.min(epos + 40, s.length))
-              if (em.lookingAt()) {
-                if (em.group(3) == "n") out(start + k) = em.group(1).toInt
-                epos += 20
-              } else { k = count } // malformed: bail this section
-              k += 1
+            // corrupt headers/offsets must degrade, never throw: bounds-check
+            // every numeric field (a bit-flipped 10-digit offset exceeds Int)
+            val start = safeInt(hm.group(1))
+            val count = safeInt(hm.group(2))
+            if (start < 0 || count < 0 || count > 10000000) more = false
+            else {
+              pos = pos + hm.end() - hm.regionStart()
+              var k = 0
+              val em = entry.matcher(s)
+              var epos = pos
+              while (k < count) {
+                em.region(epos, math.min(epos + 40, s.length))
+                if (em.lookingAt()) {
+                  val off = safeInt(em.group(1))
+                  if (em.group(3) == "n" && off >= 0 && off < s.length)
+                    out(start + k) = off
+                  epos += 20
+                } else { k = count } // malformed: bail this section
+                k += 1
+              }
+              pos = epos
             }
-            pos = epos
           } else more = false
         }
       }
@@ -237,7 +251,7 @@ object PdfDoc {
         val hm = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+obj\\b")
           .matcher(s)
         hm.region(at, math.min(at + 48, s.length))
-        if (!hm.lookingAt() || hm.group(1).toInt != num) return
+        if (!hm.lookingAt() || safeInt(hm.group(1)) != num) return
         val p = new ObjParser(s, at + (hm.end() - hm.regionStart()))
         val v = try p.value() catch { case _: Exception => return }
         p.ws()
@@ -250,7 +264,9 @@ object PdfDoc {
           if (b < s.length && s.charAt(b) == '\n') b += 1
           val d = v match { case d: PDict => d; case _ => PDict(Map.empty) }
           val end = d.v.get("Length") match {
-            case Some(PNum(n)) => math.min(b + n.toInt, s.length)
+            // Long arithmetic: a lying huge /Length must clamp, not wrap
+            case Some(PNum(n)) =>
+              math.min(b.toLong + math.max(0L, n.toLong), s.length.toLong).toInt
             case _ => s.indexOf("endstream", b) match {
               case -1 => s.length
               case e => e
@@ -276,13 +292,13 @@ object PdfDoc {
           val mt = objRe.matcher(s)
           if (!mt.find(pos)) continue = false
           else {
-            val num = mt.group(1).toInt
+            val num = safeInt(mt.group(1))
             val p = new ObjParser(s, mt.end())
             try {
               val v = p.value()
               p.ws()
               val attached = attachStream(v, p)
-              if (!fromXref.contains(num)) m(num) = attached
+              if (num >= 0 && !fromXref.contains(num)) m(num) = attached
               pos = attached match {
                 case PStream(_, raw) =>
                   // resume past the raw body (p.i points at "stream")
@@ -301,8 +317,10 @@ object PdfDoc {
       m.values.toList.foreach {
         case st @ PStream(d, _) if d.v.get("Type").contains(PName("ObjStm")) =>
           try {
-            val data = decodeStream(st, m)
-            val n = d.v.get("N").collect { case PNum(v) => v.toInt }.getOrElse(0)
+            val data = decodeStream(st)
+            // bound /N: a corrupt count must not drive a runaway loop
+            val n = math.min(d.v.get("N").collect { case PNum(v) => v.toInt }
+              .getOrElse(0), 100000)
             val first = d.v.get("First").collect { case PNum(v) => v.toInt }.getOrElse(0)
             val hp = new ObjParser(data, 0)
             val pairs = (0 until n).flatMap { _ =>
@@ -323,9 +341,10 @@ object PdfDoc {
       m.toMap
     }
 
-    /** Stream decode usable during construction (before `objects` is final):
-      * indirect /Length already handled by attachStream's endstream scan. */
-    private def decodeStream(st: PStream, pool: mutable.HashMap[Int, P]): String = {
+    /** Stream decode usable during construction (before `objects` is final,
+      * so no deref: direct /Filter names only — indirect /Length is already
+      * handled by attachStream's endstream scan). */
+    private def decodeStream(st: PStream): String = {
       val filters = st.dict.v.get("Filter") match {
         case Some(PName(n)) => List(n)
         case Some(PArr(a)) => a.collect { case PName(n) => n }.toList
@@ -372,7 +391,10 @@ object PdfDoc {
         val buf = new Array[Byte](8192)
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput()) return None
+          // needsDictionary: a preset-dictionary zlib header (FDICT bit —
+          // one bit flip away from a normal header) would otherwise return
+          // n==0 with needsInput()==false forever: a hang, not an exception
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
           out.write(buf, 0, n)
         }
         inf.end()
@@ -381,7 +403,8 @@ object PdfDoc {
     }
 
     case class Page(pageNo: Int, width: Double, height: Double,
-                    content: String, resources: Map[String, P])
+                    content: String, resources: Map[String, P],
+                    originX: Double = 0.0, originY: Double = 0.0)
 
     /** Pages in tree order with inherited Resources/MediaBox. */
     lazy val pages: Seq[Page] = {
@@ -425,7 +448,10 @@ object PdfDoc {
               case Some(st) => streamData(st)
               case None => ""
             }
-            out += Page(out.length + 1, b(2) - b(0), b(3) - b(1), content, res)
+            // carry the MediaBox origin: device coords are absolute, but
+            // item bboxes (and the top-left flip) are page-relative
+            out += Page(out.length + 1, b(2) - b(0), b(3) - b(1), content, res,
+              originX = b(0), originY = b(1))
           case _ =>
         }
       }
@@ -477,7 +503,12 @@ object PdfDoc {
     /** Parse a ToUnicode CMap stream into code -> unicode string. */
     private def parseCMap(data: String): Map[Int, String] = {
       val out = mutable.HashMap.empty[Int, String]
-      def hexVal(h: String): Int = Integer.parseInt(h, 16)
+      // -1 on overlong/garbage hex (4-byte codespaces are legal CMap syntax;
+      // a single odd font must not kill the page's glyph extraction)
+      def hexVal(h: String): Int =
+        if (h.isEmpty || h.length > 6) -1
+        else try Integer.parseInt(h, 16)
+        catch { case _: NumberFormatException => -1 }
       def uniOf(h: String): String = {
         // hex groups of 4 = UTF-16BE code units
         val sb = new StringBuilder
@@ -491,7 +522,10 @@ object PdfDoc {
         "beginbfchar(.*?)endbfchar", java.util.regex.Pattern.DOTALL).matcher(data)
       while (bfchar.find()) {
         val mp = pair.matcher(bfchar.group(1))
-        while (mp.find()) out(hexVal(mp.group(1))) = uniOf(mp.group(2))
+        while (mp.find()) {
+          val c = hexVal(mp.group(1))
+          if (c >= 0) out(c) = uniOf(mp.group(2))
+        }
       }
       val triple = java.util.regex.Pattern.compile(
         "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*(?:<([0-9A-Fa-f]+)>|\\[([^\\]]*)\\])")
@@ -501,7 +535,8 @@ object PdfDoc {
         val mt = triple.matcher(bfrange.group(1))
         while (mt.find()) {
           val lo = hexVal(mt.group(1)); val hi = hexVal(mt.group(2))
-          if (mt.group(3) != null) {
+          if (lo < 0 || hi < lo) ()
+          else if (mt.group(3) != null) {
             val u = uniOf(mt.group(3))
             for (c <- lo to math.min(hi, lo + 65535)) {
               if (u.length <= 1 && u.nonEmpty)
@@ -514,6 +549,7 @@ object PdfDoc {
               .matcher(mt.group(4))
             var c = lo
             while (one.find() && c <= hi) { out(c) = uniOf(one.group(1)); c += 1 }
+            // (lo >= 0 guaranteed by the guard above)
           }
         }
       }
@@ -648,10 +684,15 @@ object PdfDoc {
           resources.get("XObject").map(dictOf).getOrElse(Map.empty)
         val p = new ObjParser(content, 0)
         var ctm = ctm0
-        val ctmStack = mutable.ArrayBuffer.empty[Mat]
         var tm: Mat = identity; var tlm: Mat = identity
         var font: Option[PFont] = None
         var tfs = 1.0; var tc = 0.0; var tw = 0.0; var tz = 1.0; var tl = 0.0
+        // q/Q save the WHOLE graphics state: CTM plus the text-state
+        // parameters (font, size, Tc, Tw, Tz, TL) — generators routinely
+        // wrap runs in q..Q and expect the outer font back afterwards.
+        // (Tm/Tlm are NOT graphics state; BT resets them.)
+        type GState = (Mat, Option[PFont], Double, Double, Double, Double, Double)
+        val gsStack = mutable.ArrayBuffer.empty[GState]
         val operands = mutable.ArrayBuffer.empty[P]
 
         def nums(n: Int): Seq[Double] =
@@ -671,9 +712,11 @@ object PdfDoc {
               val (xa, ya) = applyM(m, 0.0, -0.2 * tfs)
               val (xb, yb) = applyM(m, w0 * tfs * tz, 0.8 * tfs)
               val deviceSize = tfs * math.hypot(m(2), m(3))
+              val gx0 = math.min(xa, xb) - page.originX
+              val gx1 = math.max(xa, xb) - page.originX
               glyphs += PdfText.SizedGlyph(Glyph(uni,
-                math.min(xa, xb), page.height - math.max(ya, yb),
-                math.max(xa, xb), page.height - math.min(ya, yb)), deviceSize)
+                gx0, page.height - (math.max(ya, yb) - page.originY),
+                gx1, page.height - (math.min(ya, yb) - page.originY)), deviceSize)
             }
             tm = matMul(Array(1, 0, 0, 1, tx, 0), tm)
           }
@@ -684,10 +727,12 @@ object PdfDoc {
           tok match {
             case PWord(op) =>
               op match {
-                case "q" => ctmStack += ctm
+                case "q" => gsStack += ((ctm, font, tfs, tc, tw, tz, tl))
                 case "Q" =>
-                  if (ctmStack.nonEmpty) {
-                    ctm = ctmStack.last; ctmStack.remove(ctmStack.length - 1)
+                  if (gsStack.nonEmpty) {
+                    val (c0, f0, s0, c1, w1, z1, l1) = gsStack.last
+                    ctm = c0; font = f0; tfs = s0; tc = c1; tw = w1; tz = z1; tl = l1
+                    gsStack.remove(gsStack.length - 1)
                   }
                 case "cm" =>
                   val n = nums(6)

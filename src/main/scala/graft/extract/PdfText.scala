@@ -107,7 +107,8 @@ object PdfText {
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) return None
+        // needsDictionary would loop forever (n==0, needsInput false)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         out.write(buf, 0, n)
       }
       inf.end()

@@ -169,17 +169,20 @@ object Pipeline {
       // instead of re-parsing (applyConfig is an array map)
       val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
       detailed = HtmlExtract.parseDetailed(url, html)
-      val std = SpacingFix.Backends.head
-      parsed = restrictPages(
-        HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars), opts)
-      backend = std.name
       if (opts.ocrMode == "on") {
         // forced full-page OCR (conversion_utils.py:357-358): the keep-
-        // everything parse unconditionally — no probe, no retry bookkeeping
+        // everything parse unconditionally — no probe, no retry bookkeeping,
+        // and no standard parse paid first
         parsed = restrictPages(HtmlExtract.applyConfig(detailed,
           OcrParseConfig.linkDensityThreshold, OcrParseConfig.minContentChars), opts)
         backend = OcrParseConfig.name
-      } else if (opts.backendAuto) {
+      } else {
+        val std = SpacingFix.Backends.head
+        parsed = restrictPages(
+          HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars), opts)
+        backend = std.name
+      }
+      if (opts.ocrMode != "on" && opts.backendAuto) {
         // probe shortcut: scoring is capped at 100 and Python max keeps the
         // first argmax, so a perfect standard page-1 always wins — only
         // sub-100 documents score the aggressive view

@@ -606,28 +606,32 @@ object Ops {
       pmod(lit(2L * k + 3) * $"h" + lit(7L * k + 11), lit(MinhashP))
     }
     // packed vote lanes: instead of 64 sum(+-1) agg columns, each token
-    // contributes 4 bits per packed long (4 lanes x 16-bit counters), so the
-    // agg is 16 sums + a count. Per bit b: ones-count c_b rides lane b%4 of
-    // sum s_{b/16,(b%16)/4}; the +-1 vote is v_b = 2*c_b - n, so the simhash
-    // bit is set iff 2*c_b > n — identical semantics, 4x fewer agg columns.
-    // Lane-carry safety: lanes hold counts <= n, so n must stay < 2^16; a
-    // >65535-distinct-trigram document raises instead of silently wrapping
-    // (the fix at that scale is a two-level agg: pre-sum per (doc_id, salt)).
-    val packed = for (k <- 0 until 4; g <- 0 until 4) yield
-      (0 until 4).map { i =>
-        shiftleft(shiftright(views(k), g * 4 + i).bitwiseAND(lit(1L)), 16 * i)
+    // contributes 3 bits per packed long (lanes at shifts 0/21/42), so the
+    // agg is 24 sums + a count. Per bit b: ones-count c_b rides lane
+    // (b%16)%3 of sum s_{b/16,(b%16)/3}; the +-1 vote is v_b = 2*c_b - n, so
+    // the simhash bit is set iff 2*c_b > n — identical semantics, ~3x fewer
+    // agg columns. Overflow safety (Spark 4 runs ANSI: a signed-long
+    // overflow THROWS, it does not wrap): lane counts <= n, and the max
+    // packed value (2^21-1)*(2^42+2^21+1) = 2^63-1 fits exactly, so sums
+    // are safe for any doc with < 2^21 distinct trigrams; beyond that the
+    // guard raises a labeled error (the fix at that scale is a two-level
+    // agg: pre-sum per (doc_id, salt)).
+    val groups = 6 // ceil(16 bits per view / 3 lanes)
+    val packed = for (k <- 0 until 4; g <- 0 until groups) yield
+      (0 until 3).filter(i => g * 3 + i < 16).map { i =>
+        shiftleft(shiftright(views(k), g * 3 + i).bitwiseAND(lit(1L)), 21 * i)
       }.reduce(_ + _)
-    val sums = (for (k <- 0 until 4; g <- 0 until 4) yield
-      sum(packed(k * 4 + g)).as(s"s_${k}_$g")) :+ count(lit(1)).as("n")
+    val sums = (for (k <- 0 until 4; g <- 0 until groups) yield
+      sum(packed(k * groups + g)).as(s"s_${k}_$g")) :+ count(lit(1)).as("n")
     val voted = toks.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
     val sim = (0 until 64).map { b =>
-      val k = b / 16; val j = b % 16; val g = j / 4; val i = j % 4
-      val c = shiftright(col(s"s_${k}_$g"), 16 * i).bitwiseAND(lit(0xFFFFL))
+      val k = b / 16; val j = b % 16; val g = j / 3; val i = j % 3
+      val c = shiftright(col(s"s_${k}_$g"), 21 * i).bitwiseAND(lit(0x1FFFFFL))
       when(c * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     voted.select($"doc_id",
-      when(col("n") > 65535L, raise_error(concat(lit("simhash64: doc "), $"doc_id",
-        lit(" has >65535 distinct trigrams; packed 16-bit vote lanes would overflow")))
+      when(col("n") > 2097151L, raise_error(concat(lit("simhash64: doc "), $"doc_id",
+        lit(" has >2097151 distinct trigrams; packed 21-bit vote lanes would overflow")))
         .cast("long"))
         .otherwise(sim).as("simhash64"))
   }
@@ -693,7 +697,9 @@ object Ops {
         .select(col("doc_id"), col("component"))
         .localCheckpoint() // eager: the round's single job
       comp = next
-      converged = obs.get("changed").asInstanceOf[Number].intValue() == 0
+      // max() over ZERO rows (empty graph) observes as null -> no change
+      converged = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(0) == 0
       iter += 1
     }
     require(converged, s"component propagation did not converge in $maxIters rounds")

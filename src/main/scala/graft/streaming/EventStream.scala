@@ -31,11 +31,13 @@ object EventStream {
     windowedCounts(spark.read.parquet(s"$sfDir/events.parquet"))
       .orderBy("hour_start", "event_type")
 
-  /** Streaming exact dedup: dropDuplicates on the business key with a
-    * watermark bounding state — the streaming twin of q13/q14's exact-dedup
-    * pass (a training-data pipeline ingesting a crawl feed dedups
-    * incrementally instead of re-running batch dedup per drop). State is
-    * bounded: keys older than the watermark are evicted. */
+  /** Streaming exact dedup: dropDuplicatesWithinWatermark on the business
+    * key — the streaming twin of q13/q14's exact-dedup pass (a training-data
+    * pipeline ingesting a crawl feed dedups incrementally instead of
+    * re-running batch dedup per drop). The WithinWatermark variant is what
+    * actually bounds state: plain dropDuplicates(subset) only evicts when
+    * the event-time column is part of the subset, so keyed dedup state
+    * would grow forever on a continuous feed. */
   def dedupStream(spark: SparkSession, sourceDir: String,
                   sinkTable: String): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
@@ -46,7 +48,7 @@ object EventStream {
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream
       .outputMode("append")
