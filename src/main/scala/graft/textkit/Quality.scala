@@ -33,4 +33,9 @@ object Quality {
     val score = 100 - 5 * shortLines - 2 * repeatedLines - controlChars
     QualityReport(math.max(score, 0), shortLines, repeatedLines, controlChars)
   }
+
+  /** CLI report line (quality.py:56-63 — scripts/quality_report.py output). */
+  def formatReport(r: QualityReport): String =
+    s"score=${r.score} short_lines=${r.shortLineCount} " +
+      s"repeated_lines=${r.repeatedLineCount} control_chars=${r.controlCharCount}"
 }

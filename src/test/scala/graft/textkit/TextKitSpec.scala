@@ -199,6 +199,10 @@ class QualitySpec extends AnyFunSuite {
     val r = scoreMarkdown("normal text")
     assert(r.controlCharCount == 2 && r.score == 98)
   }
+  test("format_report matches the reference CLI line (quality.py:56-63)") {
+    assert(formatReport(QualityReport(95, 1, 0, 0)) ==
+      "score=95 short_lines=1 repeated_lines=0 control_chars=0")
+  }
 }
 
 class MarkdownPostSpec extends AnyFunSuite {
