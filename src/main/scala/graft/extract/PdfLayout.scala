@@ -26,19 +26,23 @@ object PdfLayout {
     val sizeOf = new java.util.IdentityHashMap[SpacingRepair.Glyph, java.lang.Double]()
     for (sg <- sized) sizeOf.put(sg.glyph, sg.fontSize)
     SpacingRepair.clusterLines(sized.map(_.glyph)).flatMap { items =>
-      val text = SpacingRepair.assembleLine(items)
+      val size0 = items.map(g => Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)).max
+      // cell runs: split on gaps far wider than word spacing (> 1.5x size)
+      val runs = mutable.ArrayBuffer(mutable.ArrayBuffer(items.head))
+      for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
+        if (b.x0 - a.x1 > size0 * 1.5) runs += mutable.ArrayBuffer(b)
+        else runs.last += b
+      }
+      val cellRuns = runs.map { rg =>
+        CellRun(SpacingRepair.assembleLine(rg.toSeq), rg.map(_.x0).min, rg.map(_.x1).max)
+      }.toSeq
+      // line text is assembled PER RUN: on a mixed multi-column line the
+      // 2-means word-gap threshold would otherwise sit between column gaps
+      // and everything else, deleting every word space inside each column
+      val text = cellRuns.map(_.text).filter(_.nonEmpty).mkString(" ")
       if (text.isEmpty) None
       else {
-        val size = items.map(g => Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)).max
-        // cell runs: split on gaps far wider than word spacing (> 1.5x size)
-        val runs = mutable.ArrayBuffer(mutable.ArrayBuffer(items.head))
-        for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
-          if (b.x0 - a.x1 > size * 1.5) runs += mutable.ArrayBuffer(b)
-          else runs.last += b
-        }
-        val cellRuns = runs.map { rg =>
-          CellRun(SpacingRepair.assembleLine(rg.toSeq), rg.map(_.x0).min, rg.map(_.x1).max)
-        }.toSeq
+        val size = size0
         Some(VLine(
           text = text, size = size,
           yTop = items.map(_.y0).min, yBottom = items.map(_.y1).max,
