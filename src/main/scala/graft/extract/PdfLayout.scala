@@ -26,11 +26,15 @@ object PdfLayout {
     val sizeOf = new java.util.IdentityHashMap[SpacingRepair.Glyph, java.lang.Double]()
     for (sg <- sized) sizeOf.put(sg.glyph, sg.fontSize)
     SpacingRepair.clusterLines(sized.map(_.glyph)).flatMap { items =>
-      val size0 = items.map(g => Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)).max
-      // cell runs: split on gaps far wider than word spacing (> 1.5x size)
+      def sz(g: SpacingRepair.Glyph): Double =
+        Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)
+      val size0 = items.map(sz).max
+      // cell runs: split on gaps far wider than word spacing (> 1.5x the
+      // SMALLER adjacent glyph size — a mixed-size visual row must split
+      // where the small-font column ends, not at 1.5x the row's max size)
       val runs = mutable.ArrayBuffer(mutable.ArrayBuffer(items.head))
       for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
-        if (b.x0 - a.x1 > size0 * 1.5) runs += mutable.ArrayBuffer(b)
+        if (b.x0 - a.x1 > math.min(sz(a), sz(b)) * 1.5) runs += mutable.ArrayBuffer(b)
         else runs.last += b
       }
       val cellRuns = runs.map { rg =>
@@ -56,6 +60,74 @@ object PdfLayout {
   private def sameColumns(a: VLine, b: VLine, tol: Double): Boolean =
     a.runs.length >= 2 && a.runs.length == b.runs.length &&
       a.runs.zip(b.runs).forall { case (x, y) => math.abs(x.x0 - y.x0) <= tol }
+
+  /** XY-cut for non-table segments (north_star bullet (b)): banner lines
+    * (a single run spanning most of the segment width) split the segment
+    * vertically; within each sub-segment, run x-intervals cluster into
+    * disjoint column spans, and columns are emitted left-to-right — reading
+    * order for multi-column layouts (body text column, then side panel)
+    * instead of y-interleaved fragments. Single-column segments pass
+    * through untouched. */
+  private def columnGroups(lines: Seq[VLine]): Seq[Seq[VLine]] = {
+    if (lines.length < 4) return Seq(lines)
+    val segX0 = lines.map(_.x0).min
+    val segW = lines.map(_.x1).max - segX0
+    if (segW <= 0) return Seq(lines)
+    var anySplit = false
+    val out = mutable.ArrayBuffer.empty[Seq[VLine]]
+    val cur = mutable.ArrayBuffer.empty[VLine]
+    def flush(): Unit = {
+      if (cur.nonEmpty) {
+        val cols = splitColumns(cur.toSeq)
+        if (cols.length > 1) anySplit = true
+        out ++= cols
+        cur.clear()
+      }
+    }
+    for (l <- lines) {
+      if (l.x1 - l.x0 > segW * 0.75) { flush(); out += Seq(l) }
+      else cur += l
+    }
+    flush()
+    // no multi-column structure anywhere: keep the segment whole so
+    // ordinary single-column paragraphs merge into blocks as before
+    // (banner singletons alone must not shred a paragraph into lines)
+    if (anySplit) out.toSeq else Seq(lines)
+  }
+
+  private def splitColumns(lines: Seq[VLine]): Seq[Seq[VLine]] = {
+    if (lines.length < 4) return Seq(lines)
+    val tol = graft.textkit.Py.median(lines.map(_.size))
+    // merge run x-intervals (sorted by x0) into disjoint column spans
+    val intervals = lines.flatMap(_.runs.map(r => (r.x0, r.x1))).sortBy(_._1)
+    val spans = mutable.ArrayBuffer.empty[Array[Double]]
+    for ((x0, x1) <- intervals) {
+      if (spans.nonEmpty && x0 - spans.last(1) <= tol)
+        spans.last(1) = math.max(spans.last(1), x1)
+      else spans += Array(x0, x1)
+    }
+    if (spans.length < 2) return Seq(lines)
+    def spanOf(r: CellRun): Int = {
+      val cx = (r.x0 + r.x1) / 2
+      spans.indexWhere(s => cx >= s(0) - tol && cx <= s(1) + tol) match {
+        case -1 => 0
+        case i => i
+      }
+    }
+    val perSpan = Array.fill(spans.length)(mutable.ArrayBuffer.empty[VLine])
+    for (l <- lines) {
+      for ((span, runs) <- l.runs.groupBy(spanOf).toSeq.sortBy(_._1)) {
+        perSpan(span) += VLine(
+          text = runs.map(_.text).filter(_.nonEmpty).mkString(" "),
+          size = l.size, yTop = l.yTop, yBottom = l.yBottom,
+          x0 = runs.map(_.x0).min, x1 = runs.map(_.x1).max, runs = runs)
+      }
+    }
+    // a real column must carry text from several lines; otherwise fall back
+    val cols = perSpan.filter(_.nonEmpty)
+    if (cols.count(_.length >= 2) < 2) Seq(lines)
+    else cols.map(_.toSeq).toSeq
+  }
 
   private def classify(maxSize: Double, firstLine: String): String =
     if (maxSize >= 17.0) Label.Title
@@ -208,7 +280,7 @@ object PdfLayout {
             Some(TableData(nRows, nCols, (headerCells ++ dataCells).toArray)))
           idx += 1
         } else {
-          for (block <- blocksOf(segLines)) {
+          for (group <- columnGroups(segLines); block <- blocksOf(group)) {
             val label = classify(block.map(_.size).max, block.head.text)
             val bbox = Bbox(block.map(_.x0).min, block.map(_.yTop).min,
               block.map(_.x1).max, block.map(_.yBottom).max, Bbox.TopLeft)
