@@ -1,0 +1,47 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The reference CLI's PRIMARY use case with NO docling JSON: the raw
+  * long_report.pdf through the full extractOne pipeline — PdfDoc glyphs ->
+  * PdfLayout XY-cut blocks/tables -> transform battery -> markdown. This is
+  * the from-scratch layout engine standing in for Docling's ML parse, so the
+  * bars are floors (coverage/recall), not byte identity. */
+class RealPdfDirectSpec extends AnyFunSuite {
+  private lazy val pdf =
+    Files.readAllBytes(Paths.get("/root/reference/examples/long_report.pdf"))
+  private lazy val want =
+    Files.readString(Paths.get("/root/reference/examples/long_report.md"))
+  private lazy val row = Pipeline.extractOne("doc://long_report", pdf, "ro", 0)
+
+  test("structure: all 19 pages, a real table battery, headings classified") {
+    assert(row.page_count == 19)
+    assert(row.table_count >= 16, s"tables=${row.table_count}")
+    assert(row.markdown.linesIterator.count(_.startsWith("#")) >= 20)
+  }
+
+  test("token coverage >= 98.5% and numeric recall >= 92% vs the reference golden") {
+    val gotTokens = graft.textkit.Numbers.tokenize(row.markdown).toSet
+    val wantTokens = graft.textkit.Numbers.tokenize(want)
+    val cov = graft.textkit.Numbers.coverage(wantTokens, gotTokens)
+    assert(cov >= 0.985, f"token coverage $cov%.4f")
+    val wantNums = graft.textkit.Numbers.extractNumbers(want)
+    val gotNums = graft.textkit.Numbers.extractNumbers(row.markdown)
+    val recall = wantNums.count(gotNums.contains).toDouble / wantNums.size
+    assert(recall >= 0.92, f"numeric recall $recall%.4f")
+  }
+
+  test("multi-column prose assembles with real word spacing (per-run 2-means)") {
+    // these exact phrases came out letter-glued before the per-run assembly
+    // ('înprimelenouălunialeanului2025')
+    assert(row.markdown.contains("în primele nouă luni ale anului 2025"))
+    assert(row.markdown.contains("Compania a înregistrat un avans al producției de lapte"))
+    assert(row.markdown.contains("Analiza rezultatelor financiare consolidate la 30.09.2025"))
+  }
+
+  test("flagship table values survive the glyph-only read") {
+    for (v <- Seq("245.140.981", "158.065.856", "42.916.476", "77.410.139"))
+      assert(row.markdown.contains(v), s"missing $v")
+  }
+}
