@@ -28,13 +28,19 @@ object PdfLayout {
     SpacingRepair.clusterLines(sized.map(_.glyph)).flatMap { items =>
       def sz(g: SpacingRepair.Glyph): Double =
         Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)
-      val size0 = items.map(sz).max
+      val size0 = math.max(items.map(sz).max, 1.0)
       // cell runs: split on gaps far wider than word spacing (> 1.5x the
       // SMALLER adjacent glyph size — a mixed-size visual row must split
-      // where the small-font column ends, not at 1.5x the row's max size)
+      // where the small-font column ends, not at 1.5x the row's max size).
+      // Degenerate sizes (0 Tf hidden text, collapsed Tm) fall back to the
+      // row max so a lone zero-size glyph cannot shatter the line.
+      def splitRef(a: SpacingRepair.Glyph, b: SpacingRepair.Glyph): Double = {
+        val m = math.min(sz(a), sz(b))
+        if (m <= 1.0) size0 else m
+      }
       val runs = mutable.ArrayBuffer(mutable.ArrayBuffer(items.head))
       for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
-        if (b.x0 - a.x1 > math.min(sz(a), sz(b)) * 1.5) runs += mutable.ArrayBuffer(b)
+        if (b.x0 - a.x1 > splitRef(a, b) * 1.5) runs += mutable.ArrayBuffer(b)
         else runs.last += b
       }
       val cellRuns = runs.map { rg =>
@@ -46,9 +52,8 @@ object PdfLayout {
       val text = cellRuns.map(_.text).filter(_.nonEmpty).mkString(" ")
       if (text.isEmpty) None
       else {
-        val size = size0
         Some(VLine(
-          text = text, size = size,
+          text = text, size = size0,
           yTop = items.map(_.y0).min, yBottom = items.map(_.y1).max,
           x0 = items.map(_.x0).min, x1 = items.map(_.x1).max,
           runs = cellRuns))
@@ -75,8 +80,9 @@ object PdfLayout {
     if (segW <= 0) return Seq(lines)
     var anySplit = false
     val out = mutable.ArrayBuffer.empty[Seq[VLine]]
-    val cur = mutable.ArrayBuffer.empty[VLine]
-    def flush(): Unit = {
+    val cur = mutable.ArrayBuffer.empty[VLine]     // narrow (column-candidate) lines
+    val banner = mutable.ArrayBuffer.empty[VLine]  // consecutive full-width lines
+    def flushCur(): Unit = {
       if (cur.nonEmpty) {
         val cols = splitColumns(cur.toSeq)
         if (cols.length > 1) anySplit = true
@@ -84,14 +90,18 @@ object PdfLayout {
         cur.clear()
       }
     }
-    for (l <- lines) {
-      if (l.x1 - l.x0 > segW * 0.75) { flush(); out += Seq(l) }
-      else cur += l
+    def flushBanner(): Unit = {
+      // CONSECUTIVE banners stay one group so a full-width paragraph above
+      // a column region still merges into one block downstream
+      if (banner.nonEmpty) { out += banner.toSeq; banner.clear() }
     }
-    flush()
+    for (l <- lines) {
+      if (l.x1 - l.x0 > segW * 0.75) { flushCur(); banner += l }
+      else { flushBanner(); cur += l }
+    }
+    flushCur(); flushBanner()
     // no multi-column structure anywhere: keep the segment whole so
     // ordinary single-column paragraphs merge into blocks as before
-    // (banner singletons alone must not shred a paragraph into lines)
     if (anySplit) out.toSeq else Seq(lines)
   }
 
@@ -117,13 +127,21 @@ object PdfLayout {
     val perSpan = Array.fill(spans.length)(mutable.ArrayBuffer.empty[VLine])
     for (l <- lines) {
       for ((span, runs) <- l.runs.groupBy(spanOf).toSeq.sortBy(_._1)) {
-        perSpan(span) += VLine(
-          text = runs.map(_.text).filter(_.nonEmpty).mkString(" "),
-          size = l.size, yTop = l.yTop, yBottom = l.yBottom,
-          x0 = runs.map(_.x0).min, x1 = runs.map(_.x1).max, runs = runs)
+        val text = runs.map(_.text).filter(_.nonEmpty).mkString(" ")
+        if (text.nonEmpty) // empty-run spans must not become empty items
+          perSpan(span) += VLine(
+            text = text,
+            size = l.size, yTop = l.yTop, yBottom = l.yBottom,
+            x0 = runs.map(_.x0).min, x1 = runs.map(_.x1).max, runs = runs)
       }
     }
-    // a real column must carry text from several lines; otherwise fall back
+    // a real column must carry text from several lines; otherwise fall back.
+    // KNOWN TRADE-OFF of glyph-only XY-cut: a ragged key-value block (two
+    // x-spans, labels left / values right, starts too uneven for the table
+    // signature) reads column-wise here — all labels then all values. Only
+    // a layout model (the reference delegates to Docling's ML parse) can
+    // disambiguate that from genuine two-column text; token coverage is
+    // unaffected either way.
     val cols = perSpan.filter(_.nonEmpty)
     if (cols.count(_.length >= 2) < 2) Seq(lines)
     else cols.map(_.toSeq).toSeq

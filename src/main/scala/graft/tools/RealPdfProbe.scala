@@ -17,21 +17,3 @@ object RealPdfProbe {
     println("markdown -> /tmp/real_pdf.md")
   }
 }
-// (coverage probe lives in RealPdfCov below)
-object RealPdfCov {
-  def main(args: Array[String]): Unit = {
-    val pdf = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/reference/examples/long_report.pdf"))
-    val want = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("/root/reference/examples/long_report.md"))
-    val row = graft.extract.Pipeline.extractOne("doc://long_report", pdf, "ro", 0)
-    val gotTokens = graft.textkit.Numbers.tokenize(row.markdown).toSet
-    val wantTokens = graft.textkit.Numbers.tokenize(want)
-    val cov = graft.textkit.Numbers.coverage(wantTokens, gotTokens)
-    println(f"direct-pdf token coverage vs golden: $cov%.4f " +
-      s"(${wantTokens.count(gotTokens.contains)}/${wantTokens.length})")
-    val wantNums = graft.textkit.Numbers.extractNumbers(want)
-    val gotNums = graft.textkit.Numbers.extractNumbers(row.markdown)
-    println(s"numeric recall: ${wantNums.count(gotNums.contains)}/${wantNums.size}")
-  }
-}
