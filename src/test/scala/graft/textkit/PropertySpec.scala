@@ -42,13 +42,23 @@ class PropertySpec extends AnyFunSuite {
       assert(CellClean.cleanHeaderText(s) == s, s)
   }
 
-  test("the chain reaches a fixed point within three applications") {
+  test("the chain converges to a fixed point within token-count applications") {
+    // each application strips at most ONE trailing bracket (the reference's
+    // per-pass strip — CPython-parity pinned by the differential fuzz), so
+    // an input ending in k strippable tokens legitimately needs k passes;
+    // the true invariant is bounded convergence, not a fixed 3-pass bound
+    // (a 1-in-~50k seed used to flake the old 3-pass assertion)
     check(500)(Prop.forAll(cellGen) { s =>
-      val a = CellClean.cleanTableCellText(s)
-      val b = CellClean.cleanTableCellText(a)
-      val c = CellClean.cleanTableCellText(b)
-      val d = CellClean.cleanTableCellText(c)
-      c == d
+      val bound = s.count(_ == ' ') + 4
+      var cur = s
+      var prev: String = null
+      var i = 0
+      while (i < bound && cur != prev) {
+        prev = cur
+        cur = CellClean.cleanTableCellText(cur)
+        i += 1
+      }
+      cur == prev
     })
   }
 
