@@ -31,6 +31,27 @@ object PropHammer {
         bad += 1
         if (bad <= 5) println(s"CONVERGE FAIL: ${repr(s)} stuck at ${repr(cur)}")
       }
+      // glyph reconstruction acceptance (PropertySpec's third property)
+      if (i % 10 == 0) {
+        val ws = Array("viteza", "de", "rotatie", "a",
+          "activelor", "cheltuieli", "financiare", "profit", "net")
+        val phraseWords = Seq.fill(5)(ws(rnd.nextInt(ws.length)))
+        val phrase = phraseWords.mkString(" ")
+        var x = 0.0
+        val glyphs = phrase.flatMap { ch =>
+          if (ch == ' ') { x += 2.5; None }
+          else {
+            val g = SpacingRepair.Glyph(ch.toString, x, 0, x + 1.0, 2.0); x += 1.1; Some(g)
+          }
+        }
+        val rebuilt = SpacingRepair.reconstructFromChars(glyphs)
+        val ok = rebuilt == Py.joinSplit(phrase) &&
+          (!Predicates.isSpacedText(rebuilt) || phrase.split(" ").exists(_.length == 1))
+        if (!ok) {
+          bad += 1
+          if (bad <= 5) println(s"GLYPH FAIL: ${repr(phrase)} -> ${repr(rebuilt)}")
+        }
+      }
       // whitespace idempotence
       val doubled = s.replace(" ", "  ")
       val once = Whitespace.normalizeTextWhitespace(doubled)
