@@ -78,6 +78,7 @@ object SparkEntry {
     "q49_ivf_trained" -> ((s, d) => Ops.q49IvfTrainedTopK(s, d)),
     "q50_paragraph_dedup" -> (Ops.q50ParagraphDedup(_, _)),
     "q51_repetition_stats" -> (Ops.q51RepetitionStats(_, _)),
+    "q52_docling_roundtrip" -> (ExtractOps.doclingRoundTrip(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -699,6 +700,18 @@ object SparkEntry {
          |  PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS INTEGER) AS rank FROM pairs)
          |SELECT q_id AS vec_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
          |ORDER BY vec_id, rank""".stripMargin,
+
+    // docling-schema round trip: export in the reference's --export-json
+    // format and re-ingest; item counts follow the q30 closed form and the
+    // reparse must be structurally identical
+    "q52_docling_roundtrip" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INTEGER) AS p FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(3 + p + p // 3 AS INTEGER) AS item_count,
+        | CAST(3 + p + p // 3 AS INTEGER) AS reparsed_items,
+        | TRUE AS roundtrip_ok
+        |FROM s ORDER BY url""".stripMargin,
 
     // corpus-wide paragraph dedup: 12-word paragraph units, polyhash,
     // occurrence counts joined back (C4/RefinedWeb unit-dedup shape)

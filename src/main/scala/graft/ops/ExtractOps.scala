@@ -452,6 +452,31 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** q52: docling-schema ROUND TRIP distributed — parse HTML, export the
+    * tree in the reference's --export-json format (DoclingJsonExport,
+    * export_utils.py:32-38), re-ingest the JSON (DoclingJsonIngest), and
+    * assert identical item structure. Closed-form oracle: the q30 item
+    * formula plus exact-equality invariants. */
+  def doclingRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    srcDocs(s, dir).as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, lang) =>
+          val doc = HtmlExtract.parse(s"doc://$id", htmlFromText(id, text, lang))
+          val json = graft.sources.DoclingJsonExport.write(doc)
+          val back = graft.sources.DoclingJsonIngest.parse(json, s"doc://$id")
+          val same = back.items.length == doc.items.length &&
+            back.items.zip(doc.items).forall { case (a, b) =>
+              Option(a.text).getOrElse("") == Option(b.text).getOrElse("") &&
+                a.label == b.label && a.kind == b.kind && a.pageNo == b.pageNo
+            } && back.pages.toSeq == doc.pages.toSeq
+          (s"doc://$id", doc.items.length, back.items.length, same)
+        }
+      }
+      .toDF("url", "item_count", "reparsed_items", "roundtrip_ok")
+      .orderBy($"url")
+  }
+
   /** Deterministic DoclingDocument JSON for a driver text row — the
     * reference's --export-json shape (schema_name/body/texts/tables/pages).
     * doc_id % 3 == 0 rows carry a grouped-header table with a split
