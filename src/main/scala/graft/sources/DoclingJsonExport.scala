@@ -40,6 +40,10 @@ object DoclingJsonExport {
     // pictures' children nested, so emission order == idx order)
     case class Slot(ref: String, node: ObjectNode, childArray: ArrayNode)
     val slotOf = scala.collection.mutable.HashMap.empty[Int, Slot]
+    // idx -> isPicture, precomputed (a per-item linear scan would be O(n^2)
+    // on a giant document)
+    val pictureIdx: Set[Int] =
+      doc.items.iterator.filter(_.kind == ItemKind.Picture).map(_.idx).toSet
 
     def provOf(node: ObjectNode, item: DocItem): Unit = {
       val prov = node.putArray("prov")
@@ -105,7 +109,7 @@ object DoclingJsonExport {
       // nesting: picture children attach to their picture; everything else
       // is a body child (matches the ingest's depth-first rebuild)
       val parentArr = if (item.parentIdx >= 0 && slotOf.contains(item.parentIdx) &&
-          doc.items.exists(p => p.idx == item.parentIdx && p.kind == ItemKind.Picture))
+          pictureIdx.contains(item.parentIdx))
         slotOf(item.parentIdx).childArray
       else bodyChildren
       parentArr.addObject().put("$ref", ref)
