@@ -150,7 +150,10 @@ object Bench {
       // legs don't dominate bench wall time (both levels of a series always
       // read the SAME parquet)
       val smallDir = java.nio.file.Files.createTempDirectory("graft-bench-small").toString
-      pagesDF.limit(math.min(extracted, 24000L).toInt).coalesce(32)
+      // repartition, NOT coalesce: a global limit collapses to one partition,
+      // and coalesce cannot fan back out — the corpus would land in a single
+      // parquet file whose scan cannot parallelize in fused (no-exchange) mode
+      pagesDF.limit(math.min(extracted, 24000L).toInt).repartition(32)
         .write.mode("overwrite").parquet(smallDir)
       spark.stop()
       org.apache.spark.sql.SparkSession.clearActiveSession()
