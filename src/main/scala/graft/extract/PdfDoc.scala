@@ -860,12 +860,15 @@ object PdfDoc {
     doc.pages.map(pg => pg.pageNo -> doc.interpretPage(pg)).toMap
   }
 
-  /** Glyphs via the document model when a page tree parses; otherwise the
-    * legacy minimal-scan path (conforming minimal PDFs without xref). */
+  /** Glyphs via the document model when a page tree parses AND produced at
+    * least one glyph; otherwise the legacy minimal-scan path (conforming
+    * minimal PDFs without xref, or page trees whose content streams all
+    * failed to decode — e.g. unsupported filters). */
   def extractGlyphsAuto(pdf: Array[Byte],
                         fallbackPageHeight: Double = 792.0): Map[Int, Seq[Glyph]] = {
     val viaModel = try extractGlyphs(pdf) catch { case _: Exception => Map.empty[Int, Seq[Glyph]] }
-    if (viaModel.nonEmpty) viaModel else PdfText.extractGlyphs(pdf, fallbackPageHeight)
+    if (viaModel.values.exists(_.nonEmpty)) viaModel
+    else PdfText.extractGlyphs(pdf, fallbackPageHeight)
   }
 
   /** Page dimensions (pageNo -> (width, height)). */

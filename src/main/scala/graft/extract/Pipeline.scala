@@ -349,6 +349,13 @@ object Pipeline {
               shuffle: Boolean = true,
               opts: ExtractOptions = ExtractOptions(),
               statsAcc: Option[BucketStatsAcc] = None): Dataset[ExtractedRow] = {
+    // statsAcc's exactly-once guarantee relies on the accumulating
+    // mapPartitions running in the RESULT stage (after the repartition
+    // exchange). With shuffle=false it would run in a shuffle-map stage where
+    // retried/speculative tasks double-count and corrupt the lineage manifest.
+    require(shuffle || statsAcc.isEmpty,
+      "statsAcc requires shuffle=true: accumulator updates are exactly-once " +
+        "only in a result stage")
     import spark.implicits._
     val bucketed = withBucket(pages, numBuckets)
     val pruned =

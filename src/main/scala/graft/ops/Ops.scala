@@ -330,16 +330,20 @@ object Ops {
     embeddings(s, dir).select($"vec_id",
       transform($"embedding", x => x.cast("double")).as("v"))
 
-  private val dotExpr = "aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0D, (s, e) -> s + e)"
-  private val normExpr = "sqrt(aggregate(transform(v, a -> a * a), 0D, (s, e) -> s + e))"
+  // codegen'd kernels (graft.functions.VecMath) — same fold order as the SQL
+  // higher-order-function formulation, but inside whole-stage codegen
+  private def dotCol: Column =
+    graft.functions.VecMath.dotProduct(col("x.v"), col("y.v"))
+  private def nrmCol: Column =
+    sqrt(graft.functions.VecMath.dotProduct(col("v"), col("v")))
 
   /** Brute-force cosine top-k (the correctness baseline for ANN). */
   def q21CosineTopK(s: SparkSession, dir: String, k: Int = 5, limitIds: Int = 200): DataFrame = {
-    val v = vecsD(s, dir).withColumn("nrm", expr(normExpr))
+    val v = vecsD(s, dir).withColumn("nrm", nrmCol)
     val queries = v.filter($"vec_id" < limitIds)
     val pairs = queries.as("x").join(v.as("y"), col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
-        round(expr(dotExpr) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+        round(dotCol / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"neighbor_id".asc)
     pairs.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -348,10 +352,10 @@ object Ops {
 
   /** Near-duplicate embedding pairs above a cosine threshold. */
   def q22CosineNearDup(s: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val v = vecsD(s, dir).withColumn("nrm", expr(normExpr))
+    val v = vecsD(s, dir).withColumn("nrm", nrmCol)
     v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(expr(dotExpr) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+        round(dotCol / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
       .filter($"sim" >= threshold)
       .orderBy($"id_a", $"id_b")
   }
@@ -363,22 +367,25 @@ object Ops {
     * so the dot product is bit-identical across engines — round 1 used
     * sin(p*64+i), whose libm results are not portable to the oracle. */
   def q23CosineLshTopK(s: SparkSession, dir: String, planes: Int = 6, k: Int = 5): DataFrame = {
-    val v = vecsD(s, dir).withColumn("nrm", expr(normExpr))
+    val v = vecsD(s, dir).withColumn("nrm", nrmCol)
     val sigCols = (0 until planes).map { p =>
       val dot = expr(s"aggregate(zip_with(v, sequence(0, 63), (a, i) -> " +
         s"a * CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i + 1) + 12345) % 1024 - 512 AS DOUBLE)), " +
         s"0D, (s, e) -> s + e)")
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val bucketed = v.withColumn("bucket", sigCols)
+    // cached: both self-join sides read the signed projection — one pruned
+    // scan + one plane-fold pass instead of two
+    val bucketed = v.withColumn("bucket", sigCols).cache()
     val pairs = bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
-        round(expr(dotExpr) / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
+        round(dotCol / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"neighbor_id".asc)
-    pairs.withColumn("rank", row_number().over(w))
+    val out = pairs.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy($"vec_id", $"rank")
+    materializeAndRelease(out, bucketed)
   }
 
   /** Embedding label stats (centroid norms per label). */
@@ -461,32 +468,43 @@ object Ops {
 
   /** IVF search given any codebook (fixed or k-means-trained). */
   def ivfTopK(vecs: DataFrame, codebook: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
-    val v = vecs.withColumn("nrm", expr(normExpr))
-    val s = vecs.sparkSession
-    import s.implicits._
-    val cent = broadcast(codebook.zipWithIndex
-      .map { case (cv, c) => (c, cv) }.toDF("cell", "cv"))
-    // distance to every cell (codebook is tiny: a broadcast cross join),
-    // ranked per vector with a deterministic (dist, cell) tiebreak
-    val wDist = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cell").asc)
-    // cached: assigned (crank=1) and probes (crank<=nprobe) both read this —
-    // without it the codebook cross join + distance fold runs once per
-    // consumer subtree
-    val ranked = v.crossJoin(cent)
-      .withColumn("dist", expr(
-        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (s, e) -> s + e)"))
-      .withColumn("crank", row_number().over(wDist))
-      .filter(col("crank") <= nprobe)
+    val v = vecs.withColumn("nrm", nrmCol)
+    val nCells = codebook.length
+    val nProbe = math.min(nprobe, nCells)
+    // the codebook is a LITERAL (broadcast-free): nearest-cell ranking is
+    // row-local — per-cell codegen'd SqDist kernels (graft.functions.VecMath)
+    // sorted by (dist, cell) struct order inside one projection. No cross
+    // join, no row_number window shuffle; cell assignment is map-only
+    // regardless of table size (round 3 shipped a crossJoin + window over the
+    // 16x relation here — 2 shuffles of bloat).
+    val cellDists = array(codebook.indices.map { c =>
+      struct(graft.functions.VecMath.sqDist(col("v"),
+          typedLit(codebook(c).toIndexedSeq)).as("dist"),
+        lit(c).as("cell"))
+    }: _*)
+    // cached: assigned, probes, and the query side all read this relation —
+    // one pruned scan, one slim cached row per vector (no cv/dist columns)
+    val ranked = v.withColumn("sorted", array_sort(cellDists))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("sorted")(0)("cell").as("cell"),
+        expr(s"transform(slice(sorted, 1, $nProbe), x -> x.cell)").as("probe_cells"))
+      // the path is now exchange-free up to the top-k window, so downstream
+      // parallelism = this relation's partition count; a small embeddings
+      // file scans as ONE partition and would serialize the 100x-larger pair
+      // join behind it. Spread the slim rows across the cores before caching
+      // (explicit count: REPARTITION_BY_NUM is exempt from AQE coalescing,
+      // which would fold a small corpus straight back to one partition).
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .cache()
-    val assigned = ranked.filter(col("crank") === 1)
-      .select(col("vec_id"), col("cell"), col("v"), col("nrm"))
-    val probes = ranked.select(col("vec_id").as("q_id"), col("cell"))
-    val qside = assigned.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val assigned = ranked.select(col("vec_id"), col("cell"), col("v"), col("nrm"))
+    // the probe side carries its own query vector — ONE candidate join total
+    // (a separate probes->qside join would just re-shuffle the same bytes)
+    val probes = ranked.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"), explode(col("probe_cells")).as("cell"))
     val pairs = probes.join(assigned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
-      .join(qside, "q_id")
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0D, (s, e) -> s + e)") /
+        round(graft.functions.VecMath.dotProduct(col("qv"), col("v")) /
           (col("qnrm") * col("nrm")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     val out = pairs.withColumn("rank", row_number().over(w))
@@ -671,7 +689,15 @@ object Ops {
     val pairs = edgesIn.toDF("src", "dst")
     val edges = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("src", "dst").cache()
-    var comp = nodes.select(col("doc_id"), col("doc_id").as("component"))
+    // the propagation invariant needs every edge endpoint present in the
+    // label table (an absent endpoint would enter step1 with own=null and
+    // its assignment would never register in the `changed` observation, so
+    // convergence could be declared a round early) — union endpoints in
+    // rather than trusting the caller
+    val allNodes = nodes.select(col(nodes.columns.head).as("doc_id"))
+      .union(edges.select(col("src").as("doc_id")))
+      .distinct()
+    var comp = allNodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
     var converged = false
     var iter = 0

@@ -40,10 +40,6 @@ object DoclingJsonExport {
     // pictures' children nested, so emission order == idx order)
     case class Slot(ref: String, node: ObjectNode, childArray: ArrayNode)
     val slotOf = scala.collection.mutable.HashMap.empty[Int, Slot]
-    // idx -> isPicture, precomputed (a per-item linear scan would be O(n^2)
-    // on a giant document)
-    val pictureIdx: Set[Int] =
-      doc.items.iterator.filter(_.kind == ItemKind.Picture).map(_.idx).toSet
 
     def provOf(node: ObjectNode, item: DocItem): Unit = {
       val prov = node.putArray("prov")
@@ -106,10 +102,12 @@ object DoclingJsonExport {
       }
       val slot = Slot(ref, node, children)
       slotOf(item.idx) = slot
-      // nesting: picture children attach to their picture; everything else
-      // is a body child (matches the ingest's depth-first rebuild)
-      val parentArr = if (item.parentIdx >= 0 && slotOf.contains(item.parentIdx) &&
-          pictureIdx.contains(item.parentIdx))
+      // nesting: children attach to any already-emitted parent (every item
+      // gets a children array); forward references and parentIdx<0 fall back
+      // to body. The ingest only produces picture-parent nesting, so the
+      // round-trip property is unchanged, but docs built by other means keep
+      // their parent links on export.
+      val parentArr = if (item.parentIdx >= 0 && slotOf.contains(item.parentIdx))
         slotOf(item.parentIdx).childArray
       else bodyChildren
       parentArr.addObject().put("$ref", ref)
