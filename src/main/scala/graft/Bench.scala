@@ -137,6 +137,36 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // q25 prune A/B (round-4 verdict task 4): at the driver SFs the max
+    // trigram doc-freq (25 at sf0.1) never exceeds the 50 cap, so the
+    // doc-freq prune is a no-op and q25's measured time is just q15 plus a
+    // df pass. Real webtext has boilerplate (footers, cookie banners) shared
+    // by thousands of pages — model that: 20% of docs get a common 12-word
+    // footer (trigram df ~ n/2 >> 50), then time the pruned vs unpruned
+    // shape on the SAME corpus. This is the corpus class the prune exists
+    // for; the unpruned shape pays the df^2 pair blowup through every
+    // boilerplate trigram.
+    var q25AbJson = ""
+    if (!extractOnly) {
+      val boiler = "subscribe to our newsletter for the latest updates and " +
+        "special offers every single day"
+      val abDir = java.nio.file.Files.createTempDirectory("graft-bench-q25").toString
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("text",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.pmod($"doc_id", org.apache.spark.sql.functions.lit(2)) === 0,
+            org.apache.spark.sql.functions.concat($"text",
+              org.apache.spark.sql.functions.lit(" " + boiler)))
+            .otherwise($"text"))
+        .write.mode("overwrite").parquet(s"$abDir/documents.parquet")
+      def pruned(): Long = graft.ops.Ops.q25NgramJaccardPruned(spark, abDir).count()
+      def unpruned(): Long = graft.ops.Ops.q15NgramJaccardPairs(spark, abDir).count()
+      pruned(); unpruned() // warm
+      val (_, prunedSec) = time(pruned())
+      val (_, unprunedSec) = time(unpruned())
+      q25AbJson = f""","q25_prune_ab":{"pruned_sec":$prunedSec%.3f,"unpruned_sec":$unprunedSec%.3f}"""
+    }
+
     // N -> 4N scaling evidence (north rule, sandbox proxy): interleaved
     // local[8]/local[32] extraction pairs over the SAME parquet corpus, run
     // in this same invocation so every round's BENCH file carries its own
@@ -209,7 +239,7 @@ object Bench {
     }
 
     println(
-      f"""{"metric":"documents/sec (end-to-end extract-to-markdown)","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_docs":$extracted,"cpus":$cpus,"queries":$qs$scalingJson,"sf":"$sfDir"}""")
+      f"""{"metric":"documents/sec (end-to-end extract-to-markdown)","value":$docsPerSec%.1f,"unit":"docs/sec","total_sec":$total%.2f,"extract_docs":$extracted,"cpus":$cpus,"queries":$qs$q25AbJson$scalingJson,"sf":"$sfDir"}""")
     if (!doScaling) spark.stop()
   }
 }

@@ -79,6 +79,8 @@ object SparkEntry {
     "q50_paragraph_dedup" -> (Ops.q50ParagraphDedup(_, _)),
     "q51_repetition_stats" -> (Ops.q51RepetitionStats(_, _)),
     "q52_docling_roundtrip" -> (ExtractOps.doclingRoundTrip(_, _)),
+    "q53_lineage_resume" -> (ExtractOps.lineageResume(_, _)),
+    "q54_page_range_image_modes" -> (ExtractOps.pageRangeImageModes(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -766,6 +768,35 @@ object SparkEntry {
         | CAST(ceil(nl / 12.0) AS INTEGER) AS page_count,
         | CAST(ceil(nl / 12.0) AS INTEGER) AS item_count,
         | TRUE AS covered
+        |FROM s ORDER BY url""".stripMargin,
+
+    // kill-and-resume lineage invariant: after a partial commit, an orphaned
+    // uncommitted bucket write, a resume, and a no-op rerun, the committed
+    // output must hold each input doc exactly once across exactly 3
+    // snapshots — every closed form below breaks if resume loses, duplicates
+    // or re-extracts work
+    "q53_lineage_resume" ->
+      """SELECT CAST(count(*) AS BIGINT) AS committed_docs,
+        | CAST(count(*) AS BIGINT) AS distinct_urls,
+        | CAST(count(*) AS BIGINT) AS docs_run12,
+        | CAST(0 AS BIGINT) AS docs_run3,
+        | CAST(3 AS BIGINT) AS snapshots
+        |FROM documents""".stripMargin,
+
+    // page_range=(2,3) / max_num_pages=2 scan pruning over the q42 PDF
+    // geometry (8-word lines, 12 lines/page) + the three picture render
+    // modes (placeholder | referenced | embedded-with-fallback)
+    "q54_page_range_image_modes" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(ceil(len(string_split(text, ' ')) / 8.0) / 12.0) AS INTEGER) AS n
+        |  FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(CASE WHEN n >= 2 THEN least(3, n) - 1 ELSE 0 END AS INTEGER) AS pr_pages,
+        | CAST(least(n, 2) AS INTEGER) AS mp_pages,
+        | n AS full_pages,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS img_placeholder,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS img_referenced,
+        | CAST(CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS INTEGER) AS img_embedded
         |FROM s ORDER BY url""".stripMargin,
   )
 }

@@ -660,4 +660,105 @@ object ExtractOps {
         coveredU($"markdown", $"src_text").as("covered"))
       .orderBy($"url")
   }
+
+  /** q53: kill-and-resume lineage invariant as a driver query. Run 1 extracts
+    * and commits buckets 0..3, then a second run "dies" after writing bucket
+    * 4's data files but BEFORE its manifest commit (the crash-orphan state).
+    * Run 2 resumes: it must delete the uncommitted bucket-4 orphans, extract
+    * exactly the four uncommitted buckets, and commit. Run 3 must be a no-op.
+    * The summary row's closed forms catch every failure mode: lost rows or
+    * surviving duplicates break committed_docs/distinct_urls (= doc count),
+    * re-extraction of committed buckets breaks docs_run12, a non-idempotent
+    * resume breaks docs_run3, a missing commit breaks snapshots. */
+  def lineageResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (s"doc://$id", htmlFromText(id, text, lang).getBytes("UTF-8"), text, lang)
+      }
+      .toDF("url", "html", "text", "lang")
+      .cache()
+    val nB = 8
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q53").toString
+    // run 1: four buckets extracted, written, committed
+    val run1 = Pipeline.extract(s, pages, numBuckets = nB,
+      skipBuckets = (4 until nB).toSet).toDF().cache()
+    run1.write.mode("append").partitionBy("bucket").parquet(s"$outDir/data")
+    val stats1 = run1.groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum(length($"markdown")).cast("long").as("b"))
+      .collect() // bounded by numBuckets, never by corpus size
+      .map(r => graft.lineage.Lineage.PartitionStat(
+        r.getInt(0), r.getLong(1), r.getLong(2), 0L))
+      .toSeq.sortBy(_.bucket)
+    graft.lineage.Lineage.commit(outDir, nB, stats1,
+      "q53 run1 (killed after committing 4 of 8 buckets)")
+    val docs1 = stats1.map(_.docCount).sum
+    run1.unpersist()
+    // the next run writes bucket 4 and dies pre-commit: orphaned data files
+    Pipeline.extract(s, pages, numBuckets = nB,
+      skipBuckets = (0 until nB).toSet - 4).toDF()
+      .write.mode("append").partitionBy("bucket").parquet(s"$outDir/data")
+    // run 2 resumes (must clean the orphan, extract buckets 4..7 only)
+    val (_, docs2) = Pipeline.extractAndCommit(s, pages, outDir, numBuckets = nB)
+    // run 3: everything committed -> no-op
+    val (_, docs3) = Pipeline.extractAndCommit(s, pages, outDir, numBuckets = nB)
+    val data = s.read.parquet(s"$outDir/data")
+    val committed = data.count()
+    val distinctUrls = data.select($"url").distinct().count()
+    val nSnapshots = graft.lineage.Lineage.snapshots(outDir).length.toLong
+    pages.unpersist()
+    Seq((committed, distinctUrls, docs1 + docs2, docs3, nSnapshots))
+      .toDF("committed_docs", "distinct_urls", "docs_run12", "docs_run3", "snapshots")
+  }
+
+  /** q54: page-range / max-pages scan pruning + the three picture render
+    * modes as a driver query. The PDF corpus reuses q42's closed-form
+    * geometry (8-word lines, 12 lines/page), so the restricted page counts
+    * have exact oracles; the picture channel adds one picture for
+    * doc_id%4==0 whose payload bytes exist only for doc_id%8==0 (embedded
+    * mode falls back to the placeholder without payload — docling behavior,
+    * cli.py:72-81). */
+  def pageRangeImageModes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.model._
+    srcDocs(s, dir).as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text, lang) =>
+          val words = text.split(" ")
+          val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+          val pdfPages = lines.grouped(12).map(_.toSeq).toSeq
+          val pdf = graft.extract.SyntheticPdf.pdfFor(pdfPages)
+          def pageCount(opts: Pipeline.ExtractOptions): Int =
+            Pipeline.extractOne(s"doc://$id", pdf, lang, 0, opts).page_count
+          val full = pageCount(Pipeline.ExtractOptions())
+          val pr = pageCount(Pipeline.ExtractOptions(pageRange = Some((2, 3))))
+          val mp = pageCount(Pipeline.ExtractOptions(maxPages = Some(2)))
+          // picture channel: title + optional picture item
+          val hasPic = id % 4 == 0
+          val hasPayload = id % 8 == 0
+          val items = Array(
+            DocItem(0, ItemKind.Text, Label.Title, ContentLayer.Body, 1, None,
+              s"Document $id", None)) ++
+            (if (hasPic) Array(DocItem(1, ItemKind.Picture, Label.Picture,
+              ContentLayer.Body, 1, None,
+              if (hasPayload) "base64:QUJD" else "", None))
+            else Array.empty[DocItem])
+          val doc = Doc(s"doc://$id", items, Array(PageDim(1, 612.0, 792.0)))
+          def occurrences(md: String, needle: String): Int =
+            md.sliding(needle.length).count(_ == needle)
+          val mdP = MarkdownRender.render(doc)
+          val mdR = MarkdownRender.render(doc,
+            imageMode = MarkdownRender.ImageMode.Referenced)
+          val mdE = MarkdownRender.render(doc,
+            imageMode = MarkdownRender.ImageMode.Embedded)
+          (s"doc://$id", pr, mp, full,
+            occurrences(mdP, "<!-- image -->"),
+            occurrences(mdR, "](artifacts/image_"),
+            occurrences(mdE, "](data:image/png;base64,"))
+        }
+      }
+      .toDF("url", "pr_pages", "mp_pages", "full_pages",
+        "img_placeholder", "img_referenced", "img_embedded")
+      .orderBy($"url")
+  }
 }

@@ -295,3 +295,31 @@ object IvfProbe6 {
     spark.stop()
   }
 }
+
+/** q25 prune A/B standalone (mirrors the Bench block). */
+object Q25Ab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for the latest updates and special offers every single day"
+    val abDir = java.nio.file.Files.createTempDirectory("graft-q25ab").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", when(pmod($"doc_id", lit(2)) === 0,
+        concat($"text", lit(" " + boiler))).otherwise($"text"))
+      .write.mode("overwrite").parquet(s"$abDir/documents.parquet")
+    def t(label: String)(f: => Long): Unit = {
+      f
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    t("pruned") { graft.ops.Ops.q25NgramJaccardPruned(spark, abDir).count() }
+    t("unpruned") { graft.ops.Ops.q15NgramJaccardPairs(spark, abDir).count() }
+    spark.stop()
+  }
+}
