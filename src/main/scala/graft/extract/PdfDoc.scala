@@ -12,9 +12,14 @@ import scala.collection.mutable
   * Supports the classic-PDF subset digital reports use:
   *   - xref-table-driven object loading (incremental updates: later xref
   *     sections override earlier), regex object scan as the fallback
+  *   - PDF 1.5 cross-reference STREAMS (/Type /XRef, ISO 32000-1 §7.5.8):
+  *     /W-width binary rows, /Index subsections, Flate + PNG/TIFF
+  *     /DecodeParms predictors, /Root from the stream dict, type-2 entries
+  *     routing compressed objects to their live ObjStm revision
   *   - page-tree walk with /Resources and /MediaBox inheritance
-  *   - simple fonts (Type1/TrueType): /WinAnsiEncoding default,
-  *     /Differences, /FirstChar+/Widths, optional /ToUnicode override
+  *   - simple fonts (Type1/TrueType): base encodings (WinAnsi/MacRoman/
+  *     Standard; Type1 built-in default = StandardEncoding, TrueType =
+  *     WinAnsi), /Differences, /FirstChar+/Widths, /ToUnicode override
   *   - composite Type0/Identity-H fonts: /ToUnicode CMap (bfchar/bfrange),
   *     /W + /DW widths
   *   - content interpreter with full matrix state (q Q cm, BT ET,
@@ -28,6 +33,71 @@ import scala.collection.mutable
   * produced the glyphs.
   */
 object PdfDoc {
+  /** Undo a /DecodeParms predictor over decoded stream bytes. PNG predictors
+    * (10-15: per-row filter byte, None/Sub/Up/Average/Paeth — PNG spec §6)
+    * are what every modern producer wraps xref streams in; 2 is TIFF
+    * horizontal differencing. Corrupt geometry degrades to the input bytes,
+    * never throws (PdfRobustnessSpec contract). */
+  private[extract] def unpredict(bytes: Array[Byte], predictor: Int,
+                                 colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1 || bytes.isEmpty) return bytes
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns.toLong * colors * bpc + 7) / 8
+    if (rowLen <= 0 || rowLen > (1 << 24)) return bytes
+    val rl = rowLen.toInt
+    if (predictor == 2) {
+      if (bpc != 8) return bytes // sub-byte TIFF differencing: unsupported
+      val out = bytes.clone()
+      var r = 0
+      while ((r + 1) * rl <= out.length) {
+        var i = r * rl + bpp
+        while (i < (r + 1) * rl) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += 1
+      }
+      return out
+    }
+    // PNG family: each row is 1 filter byte + rl data bytes
+    val nRows = bytes.length / (rl + 1)
+    if (nRows <= 0) return bytes
+    val out = new Array[Byte](nRows * rl)
+    val prev = new Array[Byte](rl)
+    val cur = new Array[Byte](rl)
+    var r = 0
+    while (r < nRows) {
+      val base = r * (rl + 1)
+      val ft = bytes(base) & 0xFF
+      System.arraycopy(bytes, base + 1, cur, 0, rl)
+      var i = 0
+      ft match {
+        case 0 => ()
+        case 1 => i = bpp
+          while (i < rl) { cur(i) = (cur(i) + cur(i - bpp)).toByte; i += 1 }
+        case 2 =>
+          while (i < rl) { cur(i) = (cur(i) + prev(i)).toByte; i += 1 }
+        case 3 =>
+          while (i < rl) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+            cur(i) = (cur(i) + ((left + (prev(i) & 0xFF)) / 2)).toByte; i += 1
+          }
+        case 4 =>
+          while (i < rl) {
+            val a = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+            val b = prev(i) & 0xFF
+            val c = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            cur(i) = (cur(i) + pred).toByte; i += 1
+          }
+        case _ => () // unknown filter byte: pass row through
+      }
+      System.arraycopy(cur, 0, out, r * rl, rl)
+      System.arraycopy(cur, 0, prev, 0, rl)
+      r += 1
+    }
+    out
+  }
+
   // ---------------------------------------------------------------- objects
   sealed trait P
   case class PNum(v: Double) extends P
@@ -246,6 +316,7 @@ object PdfDoc {
     /** object number -> parsed object (streams keep raw body). */
     val objects: Map[Int, P] = {
       val m = mutable.HashMap.empty[Int, P]
+      val objPos = mutable.HashMap.empty[Int, Int] // direct objects: file offset
       def parseAt(num: Int, at: Int): Unit = {
         // expect "N G obj" at/near the offset
         val hm = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+obj\\b")
@@ -256,6 +327,7 @@ object PdfDoc {
         val v = try p.value() catch { case _: Exception => return }
         p.ws()
         m(num) = attachStream(v, p)
+        objPos(num) = at
       }
       def attachStream(v: P, p: ObjParser): P =
         if (s.startsWith("stream", p.i)) {
@@ -283,8 +355,8 @@ object PdfDoc {
       // the scan only fills absentees. It skips past each attached stream
       // body so binary payloads containing "N 0 obj" bytes cannot inject
       // phantom objects.
+      val fromXref = m.keySet.toSet
       locally {
-        val fromXref = m.keySet.toSet
         val objRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
         var pos = 0
         var continue = true
@@ -298,7 +370,10 @@ object PdfDoc {
               val v = p.value()
               p.ws()
               val attached = attachStream(v, p)
-              if (num >= 0 && !fromXref.contains(num)) m(num) = attached
+              if (num >= 0 && !fromXref.contains(num)) {
+                m(num) = attached
+                objPos(num) = mt.start()
+              }
               pos = attached match {
                 case PStream(_, raw) =>
                   // resume past the raw body (p.i points at "stream")
@@ -310,12 +385,75 @@ object PdfDoc {
           }
         }
       }
+      // PDF 1.5 cross-reference STREAMS (/Type /XRef, ISO 32000-1 §7.5.8):
+      // the authoritative object map for files written without a classic
+      // xref keyword. Entries are fixed-width binary rows (/W widths,
+      // /Index subsections), normally Flate+PNG-predictor compressed —
+      // decodeStream + applyPredictor above handle that. Processed in FILE
+      // ORDER so a later (newer incremental revision) stream's entries win;
+      // classic-xref entries keep top priority (hybrid-reference files).
+      // type-1 rows give direct offsets (re-parsed at authority, overriding
+      // raw-scan guesses); type-2 rows name the ObjStm a member lives in.
+      val xsOffsets = mutable.HashMap.empty[Int, Int]     // num -> offset
+      val xsInObjStm = mutable.HashMap.empty[Int, Int]    // num -> objstm num
+      m.toList.collect {
+        case (n, st @ PStream(d, _)) if d.v.get("Type").contains(PName("XRef")) =>
+          (objPos.getOrElse(n, 0), st)
+      }.sortBy(_._1).foreach { case (_, st) =>
+        try {
+          val data = decodeStream(st)
+          val w = st.dict.v.get("W") match {
+            case Some(PArr(a)) => a.collect { case PNum(v) => v.toInt }
+            case _ => Vector.empty
+          }
+          if (w.length >= 3 && w.forall(x => x >= 0 && x <= 8)) {
+            val size = st.dict.v.get("Size").collect { case PNum(v) => v.toInt }
+              .getOrElse(0)
+            val index: Seq[(Int, Int)] = st.dict.v.get("Index") match {
+              case Some(PArr(a)) =>
+                val nums = a.collect { case PNum(v) => v.toInt }
+                nums.grouped(2).collect { case Seq(a1, b1) => (a1, b1) }.toSeq
+              case _ => Seq((0, size))
+            }
+            val rowLen = w.sum
+            var pos = 0
+            def field(width: Int): Long = {
+              var v = 0L; var k = 0
+              while (k < width) { v = (v << 8) | (data.charAt(pos + k) & 0xFF); k += 1 }
+              pos += width; v
+            }
+            index.foreach { case (start, count) =>
+              var k = 0
+              while (k < count && pos + rowLen <= data.length) {
+                val t = if (w(0) == 0) 1L else field(w(0))
+                val f2 = field(w(1)); val f3 = field(w(2))
+                val num = start + k
+                t match {
+                  case 1 if f2 >= 0 && f2 < s.length => xsOffsets(num) = f2.toInt
+                  case 2 if f2 >= 0 && f2 <= Int.MaxValue => xsInObjStm(num) = f2.toInt
+                  case _ => () // free (0) or unknown types: skip
+                }
+                locally { val _ = f3 } // gen / objstm index: not needed here
+                k += 1
+              }
+            }
+          }
+        } catch { case _: Exception => }
+      }
+      val fromXrefStream = xsOffsets.keySet.toSet
+      xsOffsets.foreach { case (num, off) =>
+        if (!fromXref.contains(num)) parseAt(num, off)
+      }
+
       // PDF 1.5+ object streams: explode /Type /ObjStm payloads (N pairs of
       // "objnum offset" then the serialized objects at /First + offset).
-      // Direct definitions win over ObjStm members on conflict.
+      // An xref-stream type-2 entry names the LIVE ObjStm for its member —
+      // that revision overrides any raw-scan direct definition; without an
+      // xref stream, direct definitions win over ObjStm members on conflict.
       val fromObjStm = mutable.HashMap.empty[Int, P]
-      m.values.toList.foreach {
-        case st @ PStream(d, _) if d.v.get("Type").contains(PName("ObjStm")) =>
+      val byStm = mutable.HashMap.empty[(Int, Int), P] // (stmNum, objNum) -> value
+      m.toList.foreach {
+        case (stmNum, st @ PStream(d, _)) if d.v.get("Type").contains(PName("ObjStm")) =>
           try {
             val data = decodeStream(st)
             // bound /N: a corrupt count must not drive a runaway loop
@@ -331,11 +469,18 @@ object PdfDoc {
             }
             pairs.foreach { case (objNum, off) =>
               val op = new ObjParser(data, first + off)
-              try fromObjStm(objNum) = op.value()
-              catch { case _: Exception => }
+              try {
+                val v = op.value()
+                fromObjStm(objNum) = v
+                byStm((stmNum, objNum)) = v
+              } catch { case _: Exception => }
             }
           } catch { case _: Exception => }
         case _ =>
+      }
+      xsInObjStm.foreach { case (num, stmNum) =>
+        if (!fromXref.contains(num) && !fromXrefStream.contains(num))
+          byStm.get((stmNum, num)).foreach(v => m(num) = v)
       }
       fromObjStm.foreach { case (num, v) => if (!m.contains(num)) m(num) = v }
       m.toMap
@@ -350,9 +495,27 @@ object PdfDoc {
         case Some(PArr(a)) => a.collect { case PName(n) => n }.toList
         case _ => Nil
       }
-      if (filters.contains("FlateDecode")) inflate(st.raw).getOrElse("")
+      if (filters.contains("FlateDecode"))
+        inflate(st.raw).map(applyPredictor(st.dict.v, _)).getOrElse("")
       else if (filters.isEmpty) st.raw
       else ""
+    }
+
+    /** /DecodeParms predictor pass (direct values only — xref/object streams
+      * write them inline). Identity when no predictor is declared. */
+    private def applyPredictor(dict: Map[String, P], data: String): String = {
+      val parms: Map[String, P] = dict.get("DecodeParms").orElse(dict.get("DP")) match {
+        case Some(PDict(m)) => m
+        case Some(PArr(a)) => a.collectFirst { case PDict(m) => m }.getOrElse(Map.empty)
+        case _ => Map.empty
+      }
+      def intOf(k: String, dflt: Int): Int =
+        parms.get(k).collect { case PNum(v) => v.toInt }.getOrElse(dflt)
+      val pred = intOf("Predictor", 1)
+      if (pred <= 1) data
+      else new String(unpredict(data.getBytes(ISO_8859_1), pred,
+        intOf("Colors", 1), intOf("BitsPerComponent", 8), intOf("Columns", 1)),
+        ISO_8859_1)
     }
 
     def deref(p: P): P = p match {
@@ -377,7 +540,8 @@ object PdfDoc {
           case Some(PArr(a)) => a.map(deref).collect { case PName(n) => n }.toList
           case _ => Nil
         }
-        if (filters.contains("FlateDecode")) inflate(raw).getOrElse("")
+        if (filters.contains("FlateDecode"))
+          inflate(raw).map(applyPredictor(d.v, _)).getOrElse("")
         else if (filters.isEmpty) raw
         else "" // image filters (DCT etc.) carry no text
       case _ => ""
@@ -418,7 +582,12 @@ object PdfDoc {
             case _ =>
           } catch { case _: Exception => }
         }
-        root.orElse(objects.collectFirst {
+        // xref-stream-only files carry /Root in the stream dict, not a
+        // classic trailer; the bare Catalog scan stays as the last resort
+        root.orElse(objects.values.collectFirst {
+          case PStream(d, _) if d.v.get("Type").contains(PName("XRef")) &&
+            d.v.contains("Root") => d.v("Root")
+        }).orElse(objects.collectFirst {
           case (n, PDict(m)) if m.get("Type").contains(PName("Catalog")) => PRef(n)
         })
       }
@@ -499,6 +668,49 @@ object PdfDoc {
       val out = new String(Array(b.toByte), java.nio.charset.Charset.forName("windows-1252"))
       if (out.isEmpty || out.charAt(0) == '�') "" else out
     }
+
+    private def winAnsiTable(): Array[String] = Array.tabulate(256)(winAnsiChar)
+
+    /** Adobe StandardEncoding (ISO 32000-1 Annex D.2) — the built-in default
+      * for Type1 fonts that declare no /Encoding (PyMuPDF resolves these via
+      * the font program; the table below is the documented Type1 default).
+      * ASCII except quoteright/quoteleft at 0x27/0x60; the upper region maps
+      * the Adobe symbol set, NOT Latin-1. */
+    private def standardTable(): Array[String] = {
+      val t = Array.tabulate(256) { b =>
+        if (b >= 0x20 && b <= 0x7E) b.toChar.toString else ""
+      }
+      t(0x27) = "’"; t(0x60) = "‘"
+      val high = Map(
+        0xA1 -> "¡", 0xA2 -> "¢", 0xA3 -> "£", 0xA4 -> "⁄", 0xA5 -> "¥",
+        0xA6 -> "ƒ", 0xA7 -> "§", 0xA8 -> "¤", 0xA9 -> "'",
+        0xAA -> "“", 0xAB -> "«", 0xAC -> "‹", 0xAD -> "›",
+        0xAE -> "ﬁ", 0xAF -> "ﬂ",
+        0xB1 -> "–", 0xB2 -> "†", 0xB3 -> "‡", 0xB4 -> "·",
+        0xB6 -> "¶", 0xB7 -> "•", 0xB8 -> "‚", 0xB9 -> "„",
+        0xBA -> "”", 0xBB -> "»", 0xBC -> "…", 0xBD -> "‰",
+        0xBF -> "¿",
+        0xC1 -> "`", 0xC2 -> "´", 0xC3 -> "ˆ", 0xC4 -> "˜",
+        0xC5 -> "¯", 0xC6 -> "˘", 0xC7 -> "˙", 0xC8 -> "¨",
+        0xCA -> "˚", 0xCB -> "¸", 0xCD -> "˝", 0xCE -> "˛",
+        0xCF -> "ˇ", 0xD0 -> "—",
+        0xE1 -> "Æ", 0xE3 -> "ª", 0xE8 -> "Ł", 0xE9 -> "Ø", 0xEA -> "Œ",
+        0xEB -> "º", 0xF1 -> "æ", 0xF5 -> "ı", 0xF8 -> "ł", 0xF9 -> "ø",
+        0xFA -> "œ", 0xFB -> "ß")
+      high.foreach { case (c, u) => t(c) = u }
+      t
+    }
+
+    /** MacRomanEncoding via the JVM charset when present (it ships in every
+      * mainstream JDK); WinAnsi fallback otherwise. */
+    private def macRomanTable(): Array[String] =
+      if (java.nio.charset.Charset.isSupported("x-MacRoman")) {
+        val cs = java.nio.charset.Charset.forName("x-MacRoman")
+        Array.tabulate(256) { b =>
+          val out = new String(Array(b.toByte), cs)
+          if (out.isEmpty || out.charAt(0) == '�') "" else out
+        }
+      } else winAnsiTable()
 
     /** Parse a ToUnicode CMap stream into code -> unicode string. */
     private def parseCMap(data: String): Map[Int, String] = {
@@ -599,10 +811,26 @@ object PdfDoc {
             val toUni = d.get("ToUnicode").map(p => parseCMap(streamData(p)))
               .getOrElse(Map.empty[Int, String])
             Some(new CidFont(toUni, widths.toMap, dw))
-          case _ => // simple font (Type1/TrueType/Type3)
-            val toUniArr = Array.tabulate(256)(winAnsiChar)
-            deref(d.getOrElse("Encoding", PWord("null"))) match {
+          case subtype => // simple font (Type1/TrueType/Type3)
+            val isType1 = subtype == PName("Type1") || subtype == PName("MMType1")
+            // built-in default when no /Encoding (or a /Differences dict
+            // without /BaseEncoding): Type1 programs carry StandardEncoding;
+            // TrueType stays on the pragmatic WinAnsi default
+            def builtinTable(): Array[String] =
+              if (isType1) standardTable() else winAnsiTable()
+            def namedTable(n: String): Array[String] = n match {
+              case "WinAnsiEncoding" => winAnsiTable()
+              case "MacRomanEncoding" => macRomanTable()
+              case "StandardEncoding" => standardTable()
+              case _ => builtinTable()
+            }
+            val toUniArr = deref(d.getOrElse("Encoding", PWord("null"))) match {
+              case PName(n) => namedTable(n)
               case PDict(enc) =>
+                val base = enc.get("BaseEncoding").map(deref) match {
+                  case Some(PName(n)) => namedTable(n)
+                  case _ => builtinTable()
+                }
                 deref(enc.getOrElse("Differences", PArr(Vector.empty))) match {
                   case PArr(items) =>
                     var code = 0
@@ -611,14 +839,15 @@ object PdfDoc {
                       case PName(g) =>
                         if (code >= 0 && code < 256) {
                           val u = GlyphNames.unicodeOf(g)
-                          if (u.nonEmpty) toUniArr(code) = u
+                          if (u.nonEmpty) base(code) = u
                         }
                         code += 1
                       case _ =>
                     }
                   case _ =>
                 }
-              case _ => // named encoding: WinAnsi default covers the subset
+                base
+              case _ => builtinTable()
             }
             // a ToUnicode CMap on a simple font overrides byte mappings
             d.get("ToUnicode").foreach { p =>
