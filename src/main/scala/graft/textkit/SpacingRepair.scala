@@ -87,7 +87,33 @@ object SpacingRepair {
       .map(i => items(i).x0 - items(i - 1).x1)
       .filter(_ >= 0)
     val threshold = gapThreshold(gaps, medianCharWidth, gapRatio)
+    emitLine(items, medianCharWidth, threshold, spaceWidthRatio)
+  }
 
+  /** Direct-path line assembly (PdfLayout, no-docling PDF read): identical
+    * to [[assembleLine]] but the 2-means clusters ALL inter-glyph gaps,
+    * including negative kerning overlaps. The reference algorithm drops
+    * negatives (pymupdf_spacing_fix.py:178) — fine against PyMuPDF's glyph
+    * boxes, but real embedded fonts kern letters to OVERLAP (gap < 0); with
+    * every letter gap filtered out the 2-means bisects the WORD gaps
+    * themselves and glues justified narrow columns (long_report p4/p5
+    * two-column prose). A positive floor guards the all-overlap degenerate
+    * case (combining diacritics at one x would otherwise push the midpoint
+    * below the letter gaps and space every letter). */
+  def assembleLineDirect(items: Seq[Glyph], gapRatio: Double = 0.35,
+                         spaceWidthRatio: Double = 0.6): String = {
+    val nonSpaceWidths = items.filter(g => !isSpaceStr(g.c)).map(_.width)
+    val medianCharWidth = medianOr(nonSpaceWidths)
+    val gaps = (1 until items.length).toList
+      .map(i => items(i).x0 - items(i - 1).x1)
+    val t0 = gapThreshold(gaps, medianCharWidth, gapRatio)
+    val threshold =
+      if (t0 <= medianCharWidth * 0.1) medianCharWidth * gapRatio else t0
+    emitLine(items, medianCharWidth, threshold, spaceWidthRatio)
+  }
+
+  private def emitLine(items: Seq[Glyph], medianCharWidth: Double,
+                       threshold: Double, spaceWidthRatio: Double): String = {
     val out = new StringBuilder
     var prev: Option[Glyph] = None
     var pendingSpace = false
