@@ -35,6 +35,11 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
+      // single-host bench: every shuffle fetch is local (loopback, page
+      // cache), so lz4 on the shuffle path is pure CPU overhead — measured
+      // +0.04-0.06 scaling efficiency off (ScalingAb base vs nocomp). On a
+      // real cluster keep compression: the network pays for itself.
+      .config("spark.shuffle.compress", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,7 +62,12 @@ object Bench {
       .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
       .write.mode("overwrite").parquet(pagesDir)
     val pagesDF = spark.read.parquet(pagesDir)
-    val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "128").toInt
+    // 512 buckets (round 4): reduce waves must be >> cores or the slowest
+    // wave's tail quantizes the speedup — 128 buckets at 32 threads is 4
+    // waves and measured 0.59-0.62 efficiency at 8->32; 512 buckets + the
+    // uncompressed local shuffle lifted the same series to 0.67-0.71
+    // (tools/ScalingAb). At 100 TB the same rule is tasks >= 3-5x cores.
+    val numBuckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "512").toInt
     val fused = sys.env.get("SPARK_GRAFT_BENCH_FUSED").contains("1")
     // SPARK_GRAFT_FLOW selects conversion-flow knobs for A/B attribution:
     // off | probe | ocr | spacing | suspect | (unset = all on)
@@ -210,6 +220,7 @@ object Bench {
           .config("spark.sql.files.maxPartitionBytes", "8m")
           .config("spark.sql.files.openCostInBytes", "64k")
           .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.shuffle.compress", "false")
           .config("spark.ui.enabled", "false")
           .getOrCreate()
         s.sparkContext.setLogLevel("ERROR")

@@ -348,21 +348,34 @@ object Pipeline {
               skipBuckets: Set[Int] = Set.empty,
               shuffle: Boolean = true,
               opts: ExtractOptions = ExtractOptions(),
-              statsAcc: Option[BucketStatsAcc] = None): Dataset[ExtractedRow] = {
+              statsAcc: Option[BucketStatsAcc] = None,
+              shuffleAfterParse: Boolean = false,
+              statsInResultStage: Boolean = false): Dataset[ExtractedRow] = {
     // statsAcc's exactly-once guarantee relies on the accumulating
     // mapPartitions running in the RESULT stage (after the repartition
-    // exchange). With shuffle=false it would run in a shuffle-map stage where
-    // retried/speculative tasks double-count and corrupt the lineage manifest.
-    require(shuffle || statsAcc.isEmpty,
-      "statsAcc requires shuffle=true: accumulator updates are exactly-once " +
-        "only in a result stage")
+    // exchange). With shuffle=false (or the parse fused before an output
+    // exchange) it would run in a shuffle-map stage where retried/
+    // speculative tasks double-count and corrupt the lineage manifest.
+    // `statsInResultStage = true` is the caller's promise that the returned
+    // dataset is consumed WITHOUT any further exchange (e.g. the fused
+    // commit: scan -> parse -> partitioned write is one result stage).
+    require((shuffle && !shuffleAfterParse) || statsInResultStage || statsAcc.isEmpty,
+      "statsAcc requires the input-shuffle mode: accumulator updates are " +
+        "exactly-once only in a result stage (or pass statsInResultStage " +
+        "when the caller guarantees no downstream exchange)")
     import spark.implicits._
     val bucketed = withBucket(pages, numBuckets)
     val pruned =
       if (skipBuckets.isEmpty) bucketed
       else bucketed.filter(!$"bucket".isin(skipBuckets.toSeq: _*))
-    val placed = if (shuffle) pruned.repartition(numBuckets, $"bucket") else pruned
-    placed
+    // shuffleAfterParse: fuse the parse into the scan stage and exchange the
+    // PARSED rows instead of the raw page bytes — same committed layout (one
+    // task per bucket feeds the write), but the scan stage never stalls on
+    // the exchange and the shuffle carries markdown/text instead of raw html
+    val placed =
+      if (shuffle && !shuffleAfterParse) pruned.repartition(numBuckets, $"bucket")
+      else pruned
+    val parsed = placed
       .as[(String, Array[Byte], String, Int)]
       .mapPartitions { it =>
         // batched per-partition loop: compiled regex/state lives in JVM-static
@@ -373,12 +386,25 @@ object Pipeline {
           r
         }
       }
+    if (shuffle && shuffleAfterParse) parsed.repartition(numBuckets, $"bucket")
+    else parsed
   }
 
   /** Extraction + resumable bucketed write with a lineage manifest.
-    * Returns (snapshotId, total docs committed in this run). */
+    * Returns (snapshotId, total docs committed in this run).
+    *
+    * `fused = true` skips the input bucket exchange entirely: scan -> parse
+    * -> partitioned write runs as ONE result stage (each task appends files
+    * to every bucket dir it sees). The committed layout is identical at
+    * bucket granularity — same bucket dirs, same rows, same manifest, same
+    * partition-granular resume — only the file count per bucket differs
+    * (one per input task instead of one per bucket). The scale default when
+    * write layout is negotiable: no exchange to bottleneck, at the price of
+    * more, smaller files. Stats stay exactly-once because the accumulating
+    * map runs inside the write's result stage in BOTH modes. */
   def extractAndCommit(spark: SparkSession, pages: DataFrame, outDir: String,
-                       numBuckets: Int = DefaultBuckets): (String, Long) = {
+                       numBuckets: Int = DefaultBuckets,
+                       fused: Boolean = false): (String, Long) = {
     import spark.implicits._
     val done = graft.lineage.Lineage.committedBuckets(outDir)
 
@@ -412,7 +438,8 @@ object Pipeline {
     val statsAcc = new BucketStatsAcc
     spark.sparkContext.register(statsAcc, "graft-bucket-stats")
     val extracted = extract(spark, pages, numBuckets, skipBuckets = done,
-      statsAcc = Some(statsAcc))
+      shuffle = !fused, statsAcc = Some(statsAcc),
+      statsInResultStage = fused)
     // observed metrics ride the job (audit_utils fix-report counters analog,
     // SURVEY §2.4): no second pass, no accumulators to merge by hand
     val obs = org.apache.spark.sql.Observation(s"extract-commit")

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
+
+/** 100x-scale rehearsal (round-4 verdict task 7): one end-to-end run at
+  * >=1M synthetic docs through extract -> commit (lineage) -> paragraph
+  * dedup -> minhash-LSH near-dup components, recording wall time, shuffle
+  * spill, peak execution memory, and component-propagation round count.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [docs]
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 1000000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val memSpill = new AtomicLong(0); val diskSpill = new AtomicLong(0)
+    val peakExec = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+          peakExec.accumulateAndGet(m.peakExecutionMemory, math.max)
+        }
+      }
+    })
+
+    def heapUsed(): Long = {
+      val r = Runtime.getRuntime; r.totalMemory() - r.freeMemory()
+    }
+    var peakHeap = 0L
+    def stage[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      peakHeap = math.max(peakHeap, heapUsed())
+      println(f"stage=$label%-24s sec=${(System.nanoTime() - t0) / 1e9}%8.1f " +
+        f"spill_mem=${memSpill.get / (1 << 20)}%6d MiB spill_disk=${diskSpill.get / (1 << 20)}%6d MiB " +
+        f"peak_exec=${peakExec.get / (1 << 20)}%6d MiB heap=${heapUsed() / (1 << 20)}%6d MiB")
+      r
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft-rehearsal").toString
+    val pagesDir = s"$base/pages"
+    val outDir = s"$base/committed"
+    val docsDir = s"$base/docs"
+
+    stage("gen-corpus") {
+      spark.createDataset(spark.sparkContext.parallelize(0L until n.toLong, 512)
+        .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
+        .write.mode("overwrite").parquet(pagesDir)
+    }
+    val pages = spark.read.parquet(pagesDir)
+    val committed = stage("extract+commit") {
+      graft.extract.Pipeline.extractAndCommit(spark, pages, outDir, numBuckets = 512)
+    }
+    println(s"committed: snapshot=${committed._1} docs=${committed._2}")
+
+    // documents-shaped table from the committed output so the dedup/ANN
+    // battery runs its production shapes unmodified
+    stage("documents-table") {
+      spark.read.parquet(s"$outDir/data")
+        .select(
+          org.apache.spark.sql.functions.xxhash64($"url").as("doc_id"),
+          $"text", $"lang")
+        .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    }
+    val nDedup = stage("paragraph-dedup (q50)") {
+      graft.ops.Ops.q50ParagraphDedup(spark, docsDir).count()
+    }
+    println(s"paragraph-dedup rows: $nDedup")
+    val (labels, rounds) = stage("neardup-components (q47)") {
+      val pairs = graft.ops.Ops.q18MinhashLshPairs(spark, docsDir)
+        .select($"id_a", $"id_b")
+      val nodes = spark.read.parquet(s"$docsDir/documents.parquet").select($"doc_id")
+      graft.ops.Ops.connectedComponents(nodes, pairs.toDF("src", "dst"))
+    }
+    val nComp = labels.select($"component").distinct().count()
+    println(f"components: rounds=$rounds distinct=$nComp peak_heap=${peakHeap / (1 << 20)} MiB")
+    spark.stop()
+  }
+}

@@ -73,6 +73,29 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(snaps.last._2.map(_.docCount).sum == 32)
   }
 
+  test("fused commit: identical committed rows and manifest stats, resume green") {
+    val dirF = java.nio.file.Files.createTempDirectory("graft-lineage-fused").toString
+    val dirX = java.nio.file.Files.createTempDirectory("graft-lineage-xchg").toString
+    val (_, docsF) = Pipeline.extractAndCommit(spark, pagesDF(32), dirF, numBuckets = 8, fused = true)
+    val (_, docsX) = Pipeline.extractAndCommit(spark, pagesDF(32), dirX, numBuckets = 8)
+    assert(docsF == 32 && docsX == 32)
+    // committed ROWS are identical across modes (layout differs only in
+    // file count per bucket dir)
+    def rows(d: String) = spark.read.parquet(s"$d/data")
+      .select("url", "markdown", "text", "bucket").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(rows(dirF) == rows(dirX))
+    // per-bucket manifest stats identical (exactly-once accumulator in the
+    // fused result stage)
+    def stats(d: String) = graft.lineage.Lineage.snapshots(d).last._2
+      .map(s => (s.bucket, s.docCount, s.bytes)).toSet
+    assert(stats(dirF) == stats(dirX))
+    // resume on the fused-committed dir is a no-op
+    val (_, docs2) = Pipeline.extractAndCommit(spark, pagesDF(32), dirF, numBuckets = 8, fused = true)
+    assert(docs2 == 0)
+    assert(graft.lineage.Lineage.snapshots(dirF).last._2.map(_.docCount).sum == 32)
+  }
+
   test("mixed HTML and PDF payloads flow through one pipeline run") {
     import spark.implicits._
     val htmlPages = (0L until 8L).map(i => graft.sources.SyntheticPages.page(42L, i))
