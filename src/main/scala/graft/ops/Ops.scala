@@ -178,13 +178,17 @@ object Ops {
       .orderBy($"text_hash")
 
   /** Distinct word-3-gram sets per doc (shared by jaccard + fingerprint). */
-  private def ngrams3(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 3) // sequence(0, negative) would DESCEND in Spark
-      .select($"doc_id", explode(expr(
+  /** Distinct word-3-gram shingles over any (doc_id, text) relation. */
+  private def ngrams3Of(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3) // sequence(0, negative) would DESCEND in Spark
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
       .distinct()
+
+  private def ngrams3(s: SparkSession, dir: String): DataFrame =
+    ngrams3Of(documents(s, dir))
 
   /** Eagerly materialize `out` (localCheckpoint partitions are GC'd by the
     * ContextCleaner once the result is unreferenced — cached plans are NOT),
@@ -234,14 +238,18 @@ object Ops {
   def minhashB(j: Int): Long = 5L * j + 7
 
   /** Unordered minhash signature core shared by q17/q18. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val toks = ngrams3(s, dir)
+  /** MinHash signatures over any (doc_id, text) relation. */
+  def minhashSigOf(docs: DataFrame): DataFrame = {
+    val toks = ngrams3Of(docs)
       .select($"doc_id", polyhash($"ng").as("h"))
     val aggs = (0 until MinhashK).map { j =>
       min(pmod(lit(minhashA(j)) * $"h" + lit(minhashB(j)), lit(MinhashP))).as(s"sig_$j")
     }
     toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigOf(documents(s, dir))
 
   /** MinHash signatures over distinct word-3-gram shingles. */
   def q17MinhashSignatures(s: SparkSession, dir: String): DataFrame =
@@ -251,19 +259,42 @@ object Ops {
     * Bands are emitted via one posexplode over the signature row, so the
     * whole signature pipeline (scan -> shingle -> hash -> agg) runs ONCE
     * (round-1 built them as a 4-way union that recomputed it 4x). */
-  def q18MinhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def q18MinhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(documents(s, dir)).orderBy($"id_a", $"id_b")
+
+  /** LSH candidate pairs over any (doc_id, text) relation.
+    *
+    * `maxBucketSize` is the web-scale guard: a template-heavy corpus puts
+    * thousands of near-identical docs into ONE band bucket and the
+    * within-bucket join goes quadratic (the 1M-doc rehearsal measured 17 GB
+    * of spill from exactly this). Buckets above the cap are dropped — any
+    * class that saturates a bucket is better collapsed by EXACT dedup
+    * upstream (see ScaleRehearsal's dedup-then-LSH ordering); the default
+    * keeps exact oracle semantics (uncapped). */
+  def minhashLshPairsOf(docs: DataFrame,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val bandCols = (0 until MinhashK by 2).map { j =>
       concat_ws(":", col(s"sig_$j"), col(s"sig_${j + 1}"))
     }
-    val bands = minhashSig(s, dir)
+    val bandsAll = minhashSigOf(docs)
       .select($"doc_id", posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bkey")
+    val bands =
+      if (maxBucketSize == Int.MaxValue) bandsAll
+      else {
+        val small = bandsAll.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucketSize)
+          .select(col("band").as("sband"), col("bkey").as("sbkey"))
+        bandsAll.join(small,
+            bandsAll("band") === col("sband") && bandsAll("bkey") === col("sbkey"))
+          .select(col("doc_id"), col("band"), col("bkey"))
+      }
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-      .orderBy($"id_a", $"id_b")
   }
 
   val SimhashBits = 16

@@ -79,14 +79,42 @@ object ScaleRehearsal {
       graft.ops.Ops.q50ParagraphDedup(spark, docsDir).count()
     }
     println(s"paragraph-dedup rows: $nDedup")
+
+    // near-dup at scale runs in the PRODUCTION order: exact dedup first
+    // (a template corpus collapses by orders of magnitude — running LSH on
+    // raw docs put thousands of identical docs into single band buckets
+    // and the within-bucket join went quadratic: 849 s / 17 GB spill at
+    // 200k docs), then capped LSH over the representatives only, then
+    // components; members inherit their representative's component.
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val exact = stage("exact-dedup-groups") {
+      val g = docs.groupBy(org.apache.spark.sql.functions.xxhash64($"text").as("th"))
+        .agg(org.apache.spark.sql.functions.min($"doc_id").as("rep_id"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("members"))
+        .cache()
+      g.count(); g
+    }
+    val nExact = exact.count()
+    println(s"exact classes: $nExact (of ${docs.count()} docs)")
+    val reps = docs.join(exact.select($"rep_id".as("doc_id")), "doc_id").cache()
+    val nPairs = stage("lsh-pairs-capped(512)") {
+      graft.ops.Ops.minhashLshPairsOf(reps, maxBucketSize = 512).count()
+    }
+    println(s"lsh candidate pairs over reps: $nPairs")
     val (labels, rounds) = stage("neardup-components (q47)") {
-      val pairs = graft.ops.Ops.q18MinhashLshPairs(spark, docsDir)
-        .select($"id_a", $"id_b")
-      val nodes = spark.read.parquet(s"$docsDir/documents.parquet").select($"doc_id")
-      graft.ops.Ops.connectedComponents(nodes, pairs.toDF("src", "dst"))
+      val pairs = graft.ops.Ops.minhashLshPairsOf(reps, maxBucketSize = 512)
+      graft.ops.Ops.connectedComponents(reps.select($"doc_id"), pairs.toDF("src", "dst"))
     }
     val nComp = labels.select($"component").distinct().count()
-    println(f"components: rounds=$rounds distinct=$nComp peak_heap=${peakHeap / (1 << 20)} MiB")
+    val totalAssigned = stage("expand-members") {
+      exact.join(labels, exact("rep_id") === labels("doc_id"))
+        .select($"component", $"members").groupBy($"component")
+        .agg(org.apache.spark.sql.functions.sum($"members").as("n"))
+        .agg(org.apache.spark.sql.functions.sum($"n")).collect()(0).getLong(0)
+    }
+    println(f"components: rounds=$rounds distinct=$nComp docs_assigned=$totalAssigned " +
+      f"peak_heap=${peakHeap / (1 << 20)} MiB")
     spark.stop()
   }
 }
