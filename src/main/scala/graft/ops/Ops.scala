@@ -447,11 +447,24 @@ object Ops {
     val rare = ng.groupBy($"ng").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDocFreq)
       .select($"ng")
-    val pruned = ng.join(rare, "ng").cache()
-    val sizes = pruned.groupBy($"doc_id").agg(count(lit(1)).as("n_ng"))
-    val inter = pruned.as("x").join(pruned.as("y"), col("x.ng") === col("y.ng") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // kept is hash-partitioned on ng by the prune join, so the
+    // group-to-doc-list agg below adds NO exchange, and the doc-freq cap
+    // BOUNDS its per-group state (collect_list only ever sees <= cap ids —
+    // the two-pass order matters: df-filter first, collect second)
+    val kept = ng.join(rare, "ng").cache()
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_ng"))
+    // row-local pair expansion (<= cap^2/2 pairs per group) replaces round
+    // 3's shingle self-join: the pairs shuffle once as (id_a, id_b) partial
+    // counts with map-side combine instead of shuffling the shingle
+    // relation twice through a join
+    val inter = kept.groupBy($"ng")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") >= 2) // sequence(0, -1) would DESCEND in Spark
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), " +
+          "i -> transform(sequence(i+1, size(ids)-1), " +
+          "j -> named_struct('id_a', ids[i], 'id_b', ids[j]))))")).as("p"))
+      .groupBy($"p.id_a".as("id_a"), $"p.id_b".as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     val out = inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
@@ -461,7 +474,7 @@ object Ops {
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
-    materializeAndRelease(out, ng, pruned)
+    materializeAndRelease(out, ng, kept)
   }
 
   /** Skew pattern: two-phase salted aggregation over a hot grouping key.
