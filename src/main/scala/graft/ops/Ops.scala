@@ -331,7 +331,8 @@ object Ops {
     * widths. `bits` must be divisible by maxDist+1 chunks only approximately:
     * chunk boundaries are ceil-split so all bits are covered. */
   private[ops] def simhashBandedPairs(sh: DataFrame, hashCol: Column,
-                                      bits: Int, maxDist: Int): DataFrame = {
+                                      bits: Int, maxDist: Int,
+                                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val nChunks = maxDist + 1
     val width = (bits + nChunks - 1) / nChunks
     val mask = (1L << width) - 1
@@ -342,9 +343,23 @@ object Ops {
     // self-join: both join sides would otherwise recompute the full
     // trigram-explode + vote aggregation — the dominant cost of the query
     val shM = sh.localCheckpoint()
-    val chunks = shM.select(col("doc_id"), hashCol.as("sh"),
+    val chunksAll = shM.select(col("doc_id"), hashCol.as("sh"),
         posexplode(array(chunkCols: _*)))
       .toDF("doc_id", "sh", "chunk", "cval")
+    // same web-scale guard as minhashLshPairsOf: a template-heavy corpus
+    // saturates single (chunk, cval) buckets and the within-bucket join
+    // goes quadratic; saturated classes belong to exact dedup upstream
+    val chunks =
+      if (maxBucketSize == Int.MaxValue) chunksAll
+      else {
+        val small = chunksAll.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucketSize)
+          .select(col("chunk").as("schunk"), col("cval").as("scval"))
+        chunksAll.join(small,
+            chunksAll("chunk") === col("schunk") && chunksAll("cval") === col("scval"))
+          .select(col("doc_id"), col("sh"), col("chunk"), col("cval"))
+      }
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
           col("x.doc_id") < col("y.doc_id"))
