@@ -814,10 +814,42 @@ object PdfDoc {
           case subtype => // simple font (Type1/TrueType/Type3)
             val isType1 = subtype == PName("Type1") || subtype == PName("MMType1")
             // built-in default when no /Encoding (or a /Differences dict
-            // without /BaseEncoding): Type1 programs carry StandardEncoding;
-            // TrueType stays on the pragmatic WinAnsi default
+            // without /BaseEncoding): an EMBEDDED Type1 program's own
+            // encoding vector wins (its clear portion is plain PostScript —
+            // `/Encoding StandardEncoding def` or `dup <code> /<name> put`
+            // entries); unembedded Type1 falls to StandardEncoding and
+            // TrueType stays on the pragmatic WinAnsi default. CFF
+            // (FontFile3) binary encodings are not parsed — Standard.
+            def type1ProgramEncoding(): Option[Array[String]] = {
+              val desc = dictOf(d.getOrElse("FontDescriptor", PWord("null")))
+              val ff = desc.get("FontFile").map(streamData).getOrElse("")
+              if (ff.isEmpty) return None
+              val head = ff.indexOf("eexec") match {
+                case -1 => ff
+                case i => ff.substring(0, i)
+              }
+              val encIdx = head.indexOf("/Encoding")
+              if (encIdx < 0) return None
+              val seg = head.substring(encIdx,
+                math.min(head.length, encIdx + 32768))
+              if (seg.startsWith("/Encoding StandardEncoding") ||
+                  seg.contains("StandardEncoding def")) return Some(standardTable())
+              val t = Array.fill(256)("")
+              val m = java.util.regex.Pattern
+                .compile("dup\\s+(\\d+)\\s*/([A-Za-z0-9._]+)\\s+put").matcher(seg)
+              var found = false
+              while (m.find()) {
+                val code = safeInt(m.group(1))
+                if (code >= 0 && code < 256) {
+                  val u = GlyphNames.unicodeOf(m.group(2))
+                  if (u.nonEmpty) { t(code) = u; found = true }
+                }
+              }
+              if (found) Some(t) else None
+            }
             def builtinTable(): Array[String] =
-              if (isType1) standardTable() else winAnsiTable()
+              if (isType1) type1ProgramEncoding().getOrElse(standardTable())
+              else winAnsiTable()
             def namedTable(n: String): Array[String] = n match {
               case "WinAnsiEncoding" => winAnsiTable()
               case "MacRomanEncoding" => macRomanTable()
@@ -1072,7 +1104,44 @@ object PdfDoc {
       "tcommaaccent" -> "ț", "Tcommaaccent" -> "Ț",
       "scedilla" -> "ş", "Scedilla" -> "Ş",
       "tcedilla" -> "ţ", "Tcedilla" -> "Ţ",
-      "fi" -> "ﬁ", "fl" -> "ﬂ", "Delta" -> "∆")
+      "fi" -> "ﬁ", "fl" -> "ﬂ", "Delta" -> "∆",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~", "asciicircum" -> "^", "grave" -> "`",
+      "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£",
+      "currency" -> "¤", "yen" -> "¥", "brokenbar" -> "¦", "section" -> "§",
+      "dieresis" -> "¨", "copyright" -> "©", "ordfeminine" -> "ª",
+      "guillemotleft" -> "«", "logicalnot" -> "¬", "registered" -> "®",
+      "macron" -> "¯", "degree" -> "°", "plusminus" -> "±",
+      "acute" -> "´", "mu" -> "µ", "paragraph" -> "¶", "periodcentered" -> "·",
+      "cedilla" -> "¸", "ordmasculine" -> "º", "guillemotright" -> "»",
+      "onequarter" -> "¼", "onehalf" -> "½", "threequarters" -> "¾",
+      "questiondown" -> "¿", "multiply" -> "×", "divide" -> "÷",
+      "Agrave" -> "À", "Aacute" -> "Á", "Atilde" -> "Ã", "Adieresis" -> "Ä",
+      "Aring" -> "Å", "AE" -> "Æ", "Ccedilla" -> "Ç", "Egrave" -> "È",
+      "Eacute" -> "É", "Ecircumflex" -> "Ê", "Edieresis" -> "Ë",
+      "Igrave" -> "Ì", "Iacute" -> "Í", "Idieresis" -> "Ï", "Eth" -> "Ð",
+      "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó", "Ocircumflex" -> "Ô",
+      "Otilde" -> "Õ", "Odieresis" -> "Ö", "Oslash" -> "Ø", "Ugrave" -> "Ù",
+      "Uacute" -> "Ú", "Ucircumflex" -> "Û", "Udieresis" -> "Ü",
+      "Yacute" -> "Ý", "Thorn" -> "Þ", "germandbls" -> "ß",
+      "agrave" -> "à", "aacute" -> "á", "atilde" -> "ã", "adieresis" -> "ä",
+      "aring" -> "å", "ae" -> "æ", "ccedilla" -> "ç", "egrave" -> "è",
+      "eacute" -> "é", "ecircumflex" -> "ê", "edieresis" -> "ë",
+      "igrave" -> "ì", "iacute" -> "í", "idieresis" -> "ï", "eth" -> "ð",
+      "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+      "otilde" -> "õ", "odieresis" -> "ö", "oslash" -> "ø", "ugrave" -> "ù",
+      "uacute" -> "ú", "ucircumflex" -> "û", "udieresis" -> "ü",
+      "yacute" -> "ý", "thorn" -> "þ", "ydieresis" -> "ÿ",
+      "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
+      "Zcaron" -> "Ž", "zcaron" -> "ž", "Ydieresis" -> "Ÿ",
+      "florin" -> "ƒ", "circumflex" -> "ˆ", "tilde" -> "˜",
+      "dagger" -> "†", "daggerdbl" -> "‡", "ellipsis" -> "…",
+      "perthousand" -> "‰", "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+      "quotesinglbase" -> "‚", "quotedblbase" -> "„", "trademark" -> "™",
+      "minus" -> "−", "fraction" -> "⁄", "dotlessi" -> "ı",
+      "Lslash" -> "Ł", "lslash" -> "ł", "ring" -> "˚", "breve" -> "˘",
+      "dotaccent" -> "˙", "ogonek" -> "˛", "caron" -> "ˇ",
+      "hungarumlaut" -> "˝")
     def unicodeOf(g: String): String =
       table.getOrElse(g,
         if (g.startsWith("uni") && g.length >= 7)

@@ -290,6 +290,45 @@ class PdfDocSpec extends AnyFunSuite {
     assert(text == "it’sÆ", s"got codepoints ${text.map(_.toInt)}")
   }
 
+  test("embedded Type1 font program's own encoding vector wins over the Standard default") {
+    // clear portion of a Type1 program: custom vector mapping 65 -> abreve
+    // and 66 -> scommaaccent (NOT what Standard/WinAnsi put there)
+    val fontProg =
+      """%!PS-AdobeFont-1.0: Test
+        |/FontName /Test def
+        |/Encoding 256 array
+        |0 1 255 {1 index exch /.notdef put} for
+        |dup 65 /abreve put
+        |dup 66 /scommaaccent put
+        |readonly def
+        |eexec
+        |0000000000""".stripMargin
+    val content = "BT /F1 12 Tf 10 100 Td (AB) Tj ET"
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 300 200 ] /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>",
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Test /FontDescriptor 6 0 R >>",
+      s"<< /Type /FontDescriptor /FontName /Test /Flags 4 /FontFile 7 0 R >>",
+      s"<< /Length ${fontProg.length} /Length1 ${fontProg.indexOf("eexec")} >>" +
+        s"\nstream\n$fontProg\nendstream")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for ((o, i) <- objs.zipWithIndex) {
+      offsets += sb.length
+      sb ++= s"${i + 1} 0 obj\n$o\nendobj\n"
+    }
+    val xref = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(o => sb ++= f"$o%010d 00000 n \n")
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n"
+    val d = new PdfDoc.Document(sb.result().getBytes(ISO_8859_1))
+    val text = d.interpretPage(d.pages.head).map(_.c).mkString
+    assert(text == "ăș", s"got codepoints ${text.map(_.toInt)}")
+  }
+
   test("extractGlyphsAuto matches the legacy parser byte-for-byte on synthetic PDFs") {
     val syn = SyntheticPdf.pdfFor(Seq(Seq("hello world", "second line")),
       spreadLetterLine = Some((1, 1)))
