@@ -46,6 +46,30 @@ class PdfRobustnessSpec extends AnyFunSuite {
     for (c <- cases) runOne(c.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
   }
 
+  test("truncated/bit-flipped xref-stream PDFs never throw (predictor + binary rows)") {
+    val xs = TestPdfs.buildXrefStreamPdf()
+    val cuts = Seq(6, 64, xs.length / 3, xs.length / 2, xs.length - 40, xs.length - 5)
+    for (cut <- cuts) runOne(java.util.Arrays.copyOf(xs, cut))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 8) {
+      val mutated = xs.clone()
+      for (_ <- 0 until 16) {
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      runOne(mutated)
+    }
+    // corrupt xref-stream geometry specifically: lying /W, hostile /Index
+    val s = new String(xs, java.nio.charset.StandardCharsets.ISO_8859_1)
+    runOne(s.replace("/W [ 1 4 2 ]", "/W [ 9 9 9 ]")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    runOne(s.replace("/Size 8", "/Size 8 /Index [ 0 99999999 ]")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    runOne(s.replace("/DecodeParms << /Predictor 12 /Columns 7 >>",
+        "/DecodeParms << /Predictor 12 /Columns 999999 >>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
   test("glyph extraction on the real PDF is deterministic across calls") {
     val a = PdfDoc.extractGlyphs(real)
     val b = PdfDoc.extractGlyphs(real)
