@@ -81,6 +81,7 @@ object SparkEntry {
     "q52_docling_roundtrip" -> (ExtractOps.doclingRoundTrip(_, _)),
     "q53_lineage_resume" -> (ExtractOps.lineageResume(_, _)),
     "q54_page_range_image_modes" -> (ExtractOps.pageRangeImageModes(_, _)),
+    "q55_pdf15_pipeline" -> (ExtractOps.pdfPipeline15(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -762,6 +763,18 @@ object SparkEntry {
     // PdfLayout clusters a page's evenly-spaced line grid into ONE text
     // block, so item_count == page_count on this synthetic corpus
     "q43_pdf_pipeline" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INTEGER) AS nl FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | CAST(ceil(nl / 12.0) AS INTEGER) AS page_count,
+        | CAST(ceil(nl / 12.0) AS INTEGER) AS item_count,
+        | TRUE AS covered
+        |FROM s ORDER BY url""".stripMargin,
+
+    // q43's geometry through MODERN PDF 1.5 files (ObjStm dict objects,
+    // Flate content, PNG-predictor xref stream, no classic xref/trailer) —
+    // identical closed forms, different reader path under test
+    "q55_pdf15_pipeline" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INTEGER) AS nl FROM documents)
         |SELECT 'doc://' || doc_id AS url,

@@ -314,6 +314,95 @@ object SyntheticPdf {
     sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  private def deflate(raw: String): String = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** PDF 1.5 writer: the SAME page content as [[pdfFor]] but the modern
+    * file structure every current producer emits — dictionary objects
+    * (catalog, page tree, font, page dicts) compressed inside a /Type
+    * /ObjStm, Flate content streams, and offsets in a /Type /XRef
+    * cross-reference STREAM with a PNG Up /DecodeParms predictor. No
+    * classic `xref` table or `trailer` keyword anywhere. Drives the
+    * reader's 1.5 path end-to-end under the DuckDB oracle (q55). */
+  def pdfFor15(pages: Seq[Seq[String]]): Array[Byte] = {
+    val n = pages.length
+    def esc(t: String) = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    // dict objects 1..3+n live in the ObjStm; content streams are direct
+    val contentIds = pages.indices.map(i => 4 + n + i)
+    val objStmId = 4 + 2 * n
+    val xrefId = objStmId + 1
+    val dictObjs: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [${(0 until n).map(i => s"${4 + i} 0 R").mkString(" ")}] /Count $n >>",
+        3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+        pages.indices.map { i =>
+          (4 + i) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Contents ${contentIds(i)} 0 R /Resources << /Font << /F1 3 0 R >> >> >>")
+        }
+    val bodies = dictObjs.map(_._2)
+    val offs = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = dictObjs.map(_._1).zip(offs)
+      .map { case (num, o) => s"$num $o" }.mkString(" ") + " "
+    val objStmPayload = deflate(header + bodies.mkString("\n") + "\n")
+
+    val sb = new StringBuilder("%PDF-1.5\n%âãÏÓ\n")
+    val objPos = mutable.HashMap.empty[Int, Int]
+    def emit(num: Int, body: String): Unit = {
+      objPos(num) = sb.length
+      sb ++= s"$num 0 obj\n$body\nendobj\n"
+    }
+    for ((lines, pi) <- pages.zipWithIndex) {
+      val content = new StringBuilder
+      content ++= "BT /F1 12 Tf 72 720 Td 14 TL\n"
+      for ((line, li) <- lines.zipWithIndex) {
+        if (li > 0) content ++= "T*\n"
+        content ++= s"(${esc(line)}) Tj\n"
+      }
+      content ++= "ET\n"
+      val packed = deflate(content.result())
+      emit(contentIds(pi),
+        s"<< /Length ${packed.length} /Filter /FlateDecode >>\nstream\n$packed\nendstream")
+    }
+    emit(objStmId, s"<< /Type /ObjStm /N ${dictObjs.length} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${objStmPayload.length} >>\nstream\n$objStmPayload\nendstream")
+    // xref stream: W [1 4 2], rows 0..xrefId, PNG Up predictor over 7-byte rows
+    val xrefPos = sb.length
+    val rowLen = 7
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 24) & 0xFF).toByte, ((f2 >> 16) & 0xFF).toByte,
+      ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte,
+      ((f3 >> 8) & 0xFF).toByte, (f3 & 0xFF).toByte)
+    val rows: Seq[Array[Byte]] =
+      Seq(row(0, 0, 0xFFFF)) ++
+        dictObjs.zipWithIndex.map { case ((num, _), k) => row(2, objStmId, k) } ++
+        contentIds.map(id => row(1, objPos(id), 0)) ++
+        Seq(row(1, objPos(objStmId), 0), row(1, xrefPos, 0))
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](rowLen)
+    for (r <- rows) {
+      filtered.write(2) // PNG Up
+      var i = 0
+      while (i < rowLen) { filtered.write(((r(i) & 0xFF) - (prev(i) & 0xFF)) & 0xFF); i += 1 }
+      prev = r
+    }
+    val packedXref = deflate(new String(filtered.toByteArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
+    sb ++= s"$xrefId 0 obj\n<< /Type /XRef /Size ${xrefId + 1} /W [ 1 4 2 ] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${packedXref.length} >>\nstream\n$packedXref\nendstream\nendobj\n"
+    sb ++= s"startxref\n$xrefPos\n%%EOF\n"
+    sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   /** One laid-out line: text, font size, vertical gap from previous line.
     * When `cells` is non-empty the line is a table row: (columnX, text)
     * pairs positioned with relative Td moves. */

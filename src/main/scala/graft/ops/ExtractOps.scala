@@ -661,6 +661,31 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** q55: the q43 pipeline over MODERN (PDF 1.5) files — dict objects
+    * compressed in an ObjStm, Flate content streams, offsets in a PNG-
+    * predictor /Type /XRef stream, no classic xref/trailer anywhere. Same
+    * page geometry as q43, so the same closed forms apply; what's under
+    * test is the 1.5 reader path (xref-stream rows, type-2 ObjStm routing,
+    * predictor decode, /Root from the stream dict) end-to-end. */
+  def pdfPipeline15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val words = text.split(" ")
+        val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+        val pdfPages = lines.grouped(12).map(_.toSeq).toSeq
+        (s"doc://$id", graft.extract.SyntheticPdf.pdfFor15(pdfPages), text, lang)
+      }
+      .toDF("url", "html", "text", "lang")
+      .cache() // feeds both the extract input and the src-text join side
+    val coveredU = coveredUdf
+    Pipeline.extract(s, pages, numBuckets = 16).toDF()
+      .join(pages.select($"url", $"text".as("src_text")), "url")
+      .select($"url", $"page_count", $"item_count",
+        coveredU($"markdown", $"src_text").as("covered"))
+      .orderBy($"url")
+  }
+
   /** q53: kill-and-resume lineage invariant as a driver query. Run 1 extracts
     * and commits buckets 0..3, then a second run "dies" after writing bucket
     * 4's data files but BEFORE its manifest commit (the crash-orphan state).
