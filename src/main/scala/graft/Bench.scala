@@ -124,7 +124,7 @@ object Bench {
       "q14_exact_dedup_groups", "q25_ngram_jaccard_pruned", "q17_minhash_signatures",
       "q18_minhash_lsh_pairs", "q19_simhash", "q29_simhash64_pairs",
       "q23_cosine_lsh_topk", "q27_cosine_ivf_topk", "q49_ivf_trained",
-      "q50_paragraph_dedup", "q30_extract_documents", "q34_multimodal_features"))
+      "q50_paragraph_dedup", "q56_quality_filter", "q30_extract_documents", "q34_multimodal_features"))
       .filterNot(SparkEntry.baselineOnly)
     // steady-state: warm codegen/JIT AT THE TARGET SF (an sf0.001 warm pass
     // left the first timed query paying the big-file scan + codegen cost —

@@ -82,6 +82,7 @@ object SparkEntry {
     "q53_lineage_resume" -> (ExtractOps.lineageResume(_, _)),
     "q54_page_range_image_modes" -> (ExtractOps.pageRangeImageModes(_, _)),
     "q55_pdf15_pipeline" -> (ExtractOps.pdfPipeline15(_, _)),
+    "q56_quality_filter" -> ((s, d) => Ops.q56QualityFilter(s, d)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -770,6 +771,32 @@ object SparkEntry {
         | CAST(ceil(nl / 12.0) AS INTEGER) AS item_count,
         | TRUE AS covered
         |FROM s ORDER BY url""".stripMargin,
+
+    // Gopher/C4-class keep/drop quality gate: token bounds, mean-word-length
+    // band, TTR floor; deterministic first-failing-rule reason. Signals are
+    // exact integer ratios so the doubles match bit-for-bit.
+    "q56_quality_filter" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  len(text) AS nc
+        | FROM documents),
+        |t AS (SELECT doc_id, n_tokens,
+        |  CAST(nc - (n_tokens - 1) AS DOUBLE) / n_tokens AS mwl,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr_raw
+        | FROM s),
+        |r AS (SELECT doc_id, n_tokens, mwl, ttr_raw,
+        |  CASE WHEN n_tokens < 30 THEN 'too_short'
+        |       WHEN n_tokens > 5000 THEN 'too_long'
+        |       WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_len'
+        |       WHEN ttr_raw < 0.35 THEN 'repetitive'
+        |       ELSE '' END AS drop_reason
+        | FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        | round(mwl, 6) AS mean_word_len,
+        | round(ttr_raw, 6) AS ttr,
+        | (drop_reason = '') AS keep, drop_reason
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q43's geometry through MODERN PDF 1.5 files (ObjStm dict objects,
     // Flate content, PNG-predictor xref stream, no classic xref/trailer) —

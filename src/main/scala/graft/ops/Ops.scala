@@ -629,6 +629,39 @@ object Ops {
     * quality signals (duplicate-word fraction, most-common-trigram share) —
     * all row-local aggregation, no shuffle beyond the per-doc groupBy. */
   def q51RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    q51Impl(s, dir)
+  }
+
+  /** Gopher/C4-class KEEP/DROP quality filter (q56): the end-to-end
+    * training-data gate built from row-local signals — token-count bounds,
+    * mean word length band, type-token-ratio floor — with a deterministic
+    * first-failing-rule drop reason. Every signal is an exact integer ratio
+    * (mean word length = (chars - (n-1)) / n over single-space text, like
+    * q10) so the DuckDB oracle reproduces the doubles bit-exactly. Entirely
+    * map-side: the filter costs one projection at any corpus size. */
+  def q56QualityFilter(s: SparkSession, dir: String,
+                       minTokens: Int = 30, maxTokens: Int = 5000,
+                       minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+                       minTtr: Double = 0.35): DataFrame =
+    documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"), length($"text").as("nc"))
+      .select($"doc_id", size($"w").as("n_tokens"),
+        size(array_distinct($"w")).as("n_distinct"), $"nc")
+      .withColumn("mwl", ($"nc" - ($"n_tokens" - lit(1))).cast("double") / $"n_tokens")
+      .withColumn("ttr_raw", $"n_distinct".cast("double") / $"n_tokens")
+      .withColumn("drop_reason",
+        when($"n_tokens" < minTokens, "too_short")
+          .when($"n_tokens" > maxTokens, "too_long")
+          .when($"mwl" < minWordLen || $"mwl" > maxWordLen, "word_len")
+          .when($"ttr_raw" < minTtr, "repetitive")
+          .otherwise(""))
+      .select($"doc_id", $"n_tokens",
+        round($"mwl", 6).as("mean_word_len"),
+        round($"ttr_raw", 6).as("ttr"),
+        ($"drop_reason" === "").as("keep"), $"drop_reason")
+      .orderBy($"doc_id")
+
+  private def q51Impl(s: SparkSession, dir: String): DataFrame = {
     val toks = documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)

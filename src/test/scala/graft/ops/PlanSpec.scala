@@ -102,6 +102,43 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0, s"bucketed join still shuffles on doc_id:\n${p.take(2500)}")
   }
 
+  test("q27 IVF plan: row-local cell assignment (no cross join, no window before the exchange)") {
+    val df = Ops.q27CosineIvfTopK(spark, sf)
+    df.collect() // finalize the adaptive plan (the result is a checkpoint;
+    // assert on the ranked sub-plan instead: build it the way ivfTopK does)
+    val codebook = Ops.ivfCodebook(16)
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val cellDists = array(codebook.indices.map { c =>
+      struct(graft.functions.VecMath.sqDist($"v",
+          typedLit(codebook(c).toIndexedSeq)).as("dist"),
+        lit(c).as("cell"))
+    }: _*)
+    val ranked = vecs.withColumn("sorted", array_sort(cellDists))
+      .select($"vec_id", $"sorted"(0)("cell").as("cell"))
+    val p = plan(ranked)
+    // round 3's shape had BroadcastNestedLoopJoin (16-row codebook cross
+    // join) + Window row_number — both must be gone: assignment is a single
+    // projection over the scan
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert("FileScan parquet".r.findAllIn(p).length == 1, p.take(1500))
+  }
+
+  test("sq_dist/dot_product stay inside whole-stage codegen") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val df = vecs.select($"vec_id",
+      graft.functions.VecMath.dotProduct($"v", $"v").as("d"))
+    df.collect()
+    val p = plan(df)
+    val codegenProject = "\\*\\(\\d+\\) Project \\[vec_id".r
+    assert(codegenProject.findFirstIn(p).nonEmpty, p.take(1500))
+  }
+
   test("lineitem filter pushdown reaches the parquet reader") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sf/lineitem.parquet")
