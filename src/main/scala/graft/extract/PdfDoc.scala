@@ -847,8 +847,19 @@ object PdfDoc {
               }
               if (found) Some(t) else None
             }
+            // CFF (/FontFile3, Type1C): the binary program's own Encoding/
+            // charset tables, names resolved through GlyphNames
+            def cffProgramEncoding(): Option[Array[String]] = {
+              val desc = dictOf(d.getOrElse("FontDescriptor", PWord("null")))
+              val ff3 = desc.get("FontFile3").map(streamData).getOrElse("")
+              if (ff3.isEmpty) None
+              else CffEncoding.builtinEncoding(ff3.getBytes(ISO_8859_1))
+                .map(_.map(GlyphNames.unicodeOf))
+            }
             def builtinTable(): Array[String] =
-              if (isType1) type1ProgramEncoding().getOrElse(standardTable())
+              if (isType1)
+                type1ProgramEncoding().orElse(cffProgramEncoding())
+                  .getOrElse(standardTable())
               else winAnsiTable()
             def namedTable(n: String): Array[String] = n match {
               case "WinAnsiEncoding" => winAnsiTable()

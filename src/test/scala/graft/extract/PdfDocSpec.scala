@@ -258,6 +258,94 @@ class PdfDocSpec extends AnyFunSuite {
     assert(text == "ăș", s"got codepoints ${text.map(_.toInt)}")
   }
 
+  /** Minimal valid CFF: Name INDEX("Test"), Top DICT (charset/Encoding/
+    * CharStrings via int32 operands), String INDEX("abreve"), empty Global
+    * Subrs, 3 dummy charstrings; charset fmt0 maps GID1->SID 391 (abreve,
+    * custom string) and GID2->SID 34 (A, standard string); encoding fmt0
+    * maps GID1->code 65, GID2->code 66. */
+  private def buildCff(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int*): Unit = v.foreach(x => out.write(x & 0xFF))
+    def str(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    b(1, 0, 4, 1)                     // header
+    b(0, 1, 1, 1, 5); str("Test")     // Name INDEX
+    val topDictIndexPos = out.size()
+    val dictLen = 18                  // 3 x (5-byte int32 operand + 1-byte op)
+    b(0, 1, 1, 1, dictLen + 1)        // Top DICT INDEX header
+    val dictPos = out.size()
+    // operand placeholders patched below
+    b(29, 0, 0, 0, 0, 15)             // charset
+    b(29, 0, 0, 0, 0, 16)             // Encoding
+    b(29, 0, 0, 0, 0, 17)             // CharStrings
+    assert(out.size() - dictPos == dictLen)
+    b(0, 1, 1, 1, 7); str("abreve")   // String INDEX
+    b(0, 0)                           // Global Subr INDEX (empty)
+    val charsetPos = out.size()
+    b(0, 391 >> 8, 391 & 0xFF, 0, 34) // charset fmt0: GID1=abreve GID2=A
+    val encodingPos = out.size()
+    b(0, 2, 65, 66)                   // encoding fmt0: 2 codes
+    val charStringsPos = out.size()
+    b(0, 3, 1, 1, 2, 3, 4, 14, 14, 14) // 3 x endchar
+    val bytes = out.toByteArray
+    def patch(at: Int, v: Int): Unit = {
+      bytes(at + 1) = ((v >> 24) & 0xFF).toByte
+      bytes(at + 2) = ((v >> 16) & 0xFF).toByte
+      bytes(at + 3) = ((v >> 8) & 0xFF).toByte
+      bytes(at + 4) = (v & 0xFF).toByte
+    }
+    patch(dictPos, charsetPos)
+    patch(dictPos + 6, encodingPos)
+    patch(dictPos + 12, charStringsPos)
+    locally { val _ = topDictIndexPos }
+    bytes
+  }
+
+  test("CFF built-in encoding: custom-string and standard-string SIDs resolve") {
+    val enc = CffEncoding.builtinEncoding(buildCff())
+    assert(enc.isDefined)
+    assert(enc.get(65) == "abreve" && enc.get(66) == "A",
+      s"got 65='${enc.get(65)}' 66='${enc.get(66)}'")
+  }
+
+  test("Type1 font with embedded CFF (/FontFile3) decodes via the program's encoding") {
+    val cff = new String(buildCff(), ISO_8859_1)
+    val content = "BT /F1 12 Tf 10 100 Td (AB) Tj ET"
+    val objs = Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>",
+      "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>",
+      "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 300 200 ] /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>",
+      s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Test /FontDescriptor 6 0 R >>",
+      s"<< /Type /FontDescriptor /FontName /Test /Flags 4 /FontFile3 7 0 R >>",
+      s"<< /Subtype /Type1C /Length ${cff.length} >>\nstream\n$cff\nendstream")
+    val sb = new StringBuilder("%PDF-1.4\n")
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for ((o, i) <- objs.zipWithIndex) {
+      offsets += sb.length
+      sb ++= s"${i + 1} 0 obj\n$o\nendobj\n"
+    }
+    val xref = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    offsets.foreach(o => sb ++= f"$o%010d 00000 n \n")
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n"
+    val d = new PdfDoc.Document(sb.result().getBytes(ISO_8859_1))
+    val text = d.interpretPage(d.pages.head).map(_.c).mkString
+    // 65 -> abreve (U+0103), 66 -> A per the CFF's own encoding vector
+    assert(text == "ăA", s"got codepoints ${text.map(_.toInt)}")
+  }
+
+  test("CFF standard strings table has the spec's 229 ISOAdobe entries in order") {
+    // spot pins: a wrong ordering would silently mistranslate glyphs
+    val enc = CffEncoding.builtinEncoding(buildCff())
+    assert(enc.isDefined) // parse sanity before the pins below
+    assert(CffEncoding.standardStringsForTest.length == 229)
+    val ss = CffEncoding.standardStringsForTest
+    assert(ss(0) == ".notdef" && ss(1) == "space" && ss(17) == "zero" &&
+      ss(34) == "A" && ss(66) == "a" && ss(96) == "exclamdown" &&
+      ss(109) == "fi" && ss(110) == "fl" && ss(228) == "zcaron")
+  }
+
   test("extractGlyphsAuto matches the legacy parser byte-for-byte on synthetic PDFs") {
     val syn = SyntheticPdf.pdfFor(Seq(Seq("hello world", "second line")),
       spreadLetterLine = Some((1, 1)))
