@@ -162,6 +162,75 @@ object PdfLayout {
     else cols.map(_.toSeq).toSeq
   }
 
+  /** Page-level X-cut: split every line's runs at wide, mostly-empty
+    * vertical corridors (a column of whitespace crossed by almost no line)
+    * so side-by-side regions — a financial table next to a chart's axis
+    * labels — band independently. Without this, the chart's stray run
+    * rides the table rows' visual lines and breaks the column signature
+    * (long_report p10-p13: 10-run table rows + one axis label = 11 runs).
+    * Conservative: needs >= 24pt of corridor with real content on BOTH
+    * sides and < 15% line coverage inside, so justified prose gaps and
+    * table column gutters never split. */
+  private def xRegions(lines: Seq[VLine]): Seq[Seq[VLine]] = {
+    if (lines.length < 6) return Seq(lines)
+    val x0 = lines.map(_.x0).min
+    val x1 = lines.map(_.x1).max
+    if (x1 - x0 < 200) return Seq(lines)
+    val step = 4.0
+    val nBins = ((x1 - x0) / step).toInt + 1
+    val cover = new Array[Int](nBins)
+    for (l <- lines; r <- l.runs) {
+      val b0 = math.max(((r.x0 - x0) / step).toInt, 0)
+      val b1 = math.min(((r.x1 - x0) / step).toInt, nBins - 1)
+      var b = b0
+      while (b <= b1) { cover(b) += 1; b += 1 }
+    }
+    // a valid cut separates two regions with INDEPENDENT line structure:
+    // each side must have >= 3 lines entirely its own, and the lines that
+    // bridge the corridor (runs on both sides) must not outnumber either
+    // side's own lines. A table's interior gutter fails (every row bridges,
+    // nothing lives only on one side); a table-vs-chart gap passes (each
+    // has its own lines; only the stray rows carrying an axis label
+    // bridge); a trailing column of the SAME table fails (its lines all
+    // coexist with the main body's rows).
+    val thresh = math.max(1, (lines.length * 0.15).toInt)
+    val cuts = mutable.ArrayBuffer.empty[Double]
+    var b = 0
+    while (b < nBins) {
+      if (cover(b) <= thresh) {
+        var e = b
+        while (e < nBins && cover(e) <= thresh) e += 1
+        if (e - b >= 6) {
+          val cx0 = x0 + b * step
+          val cx1 = x0 + e * step
+          var leftOnly = 0; var rightOnly = 0; var both = 0
+          for (l <- lines) {
+            val hasL = l.runs.exists(r => (r.x0 + r.x1) / 2 < cx0)
+            val hasR = l.runs.exists(r => (r.x0 + r.x1) / 2 > cx1)
+            if (hasL && hasR) both += 1
+            else if (hasL) leftOnly += 1
+            else if (hasR) rightOnly += 1
+          }
+          if (leftOnly >= 3 && rightOnly >= 3 && both <= math.min(leftOnly, rightOnly))
+            cuts += (cx0 + cx1) / 2
+        }
+        b = e
+      } else b += 1
+    }
+    if (cuts.isEmpty) return Seq(lines)
+    val bounds = (Seq(Double.MinValue) ++ cuts :+ Double.MaxValue)
+      .sliding(2).map(s => (s.head, s(1))).toSeq
+    val regions = bounds.map { case (lo, hi) =>
+      lines.flatMap { l =>
+        val rs = l.runs.filter(r => (r.x0 + r.x1) / 2 > lo && (r.x0 + r.x1) / 2 <= hi)
+        if (rs.isEmpty) None
+        else Some(VLine(rs.map(_.text).filter(_.nonEmpty).mkString(" "), l.size,
+          l.yTop, l.yBottom, rs.map(_.x0).min, rs.map(_.x1).max, rs))
+      }
+    }.filter(_.nonEmpty)
+    if (regions.length <= 1) Seq(lines) else regions
+  }
+
   private def classify(maxSize: Double, firstLine: String): String =
     if (maxSize >= 17.0) Label.Title
     else if (maxSize >= 13.5) Label.SectionHeader
@@ -207,7 +276,7 @@ object PdfLayout {
     var idx = 0
     for ((pageNo, pageW, pageH, sized) <- pageInputs) {
       pages += PageDim(pageNo, pageW, pageH)
-      val lines = linesOf(sized)
+      for (lines <- xRegions(linesOf(sized))) {
       // table bands: maximal runs of consecutive lines sharing a >=2-column
       // x-start signature become TableData; everything else flows to blocks.
       // A wide vertical gap or a font-size change breaks the band too — two
@@ -406,7 +475,32 @@ object PdfLayout {
           }
         }
       }
+      }
     }
-    Doc(url, items.toArray, pages.toArray)
+    // cross-page furniture: an item repeating with the same text at the
+    // same position on at least half the pages is page furniture (nav bars,
+    // running footers). Docling exports BODY content only — the reference
+    // golden contains none of it — so these flip to the furniture layer and
+    // the renderer drops them. Items are kept (counts stay stable); only
+    // the content layer changes.
+    val itemsOut =
+      if (pages.length < 4) items.toArray
+      else {
+        def keyOf(it: DocItem): String =
+          it.kind + "|" +
+            it.bbox.map(bx => s"${math.round(bx.t / 20)}:${math.round(bx.l / 20)}")
+              .getOrElse("") + "|" +
+            (if (it.table.nonEmpty) it.table.get.cells.map(_.text).mkString("")
+             else it.text)
+        val pagesByKey = items.groupBy(keyOf)
+          .map { case (k, its) => k -> its.map(_.pageNo).distinct.size }
+        val cutoff = math.max(3, pages.length / 2)
+        items.map { it =>
+          if (pagesByKey(keyOf(it)) >= cutoff)
+            it.copy(contentLayer = ContentLayer.Furniture)
+          else it
+        }.toArray
+      }
+    Doc(url, itemsOut, pages.toArray)
   }
 }

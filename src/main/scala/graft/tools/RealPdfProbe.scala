@@ -139,3 +139,40 @@ object GlueProbe3 {
     }
   }
 }
+
+/** Dump VLine run structure for one page (why does a band (not) form?). */
+object PageLines {
+  def main(args: Array[String]): Unit = {
+    val pageNo = if (args.length > 0) args(0).toInt else 10
+    val pdf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/long_report.pdf"))
+    val doc = new graft.extract.PdfDoc.Document(pdf)
+    val pg = doc.pages.find(_.pageNo == pageNo).get
+    val sized = doc.interpretPageSized(pg)
+    val sizeOf = new java.util.IdentityHashMap[graft.textkit.SpacingRepair.Glyph, java.lang.Double]()
+    for (sg <- sized) sizeOf.put(sg.glyph, sg.fontSize)
+    for (items <- graft.textkit.SpacingRepair.clusterLines(sized.map(_.glyph))) {
+      def sz(g: graft.textkit.SpacingRepair.Glyph): Double =
+        Option(sizeOf.get(g)).map(_.doubleValue).getOrElse(12.0)
+      val size0 = math.max(items.map(sz).max, 1.0)
+      def splitRef(a: graft.textkit.SpacingRepair.Glyph, b: graft.textkit.SpacingRepair.Glyph): Double = {
+        val m = math.min(sz(a), sz(b)); if (m <= 1.0) size0 else m
+      }
+      val posGaps = items.sliding(2).collect {
+        case Seq(a, b) if b.x0 - a.x1 > 0 => b.x0 - a.x1 }.toSeq
+      val medianPos = if (posGaps.nonEmpty) graft.textkit.Py.median(posGaps) else Double.MaxValue
+      val runs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(items.head))
+      for (Seq(a, b) <- items.sliding(2) if items.length > 1) {
+        val gap = b.x0 - a.x1; val ref = splitRef(a, b)
+        if (gap > ref * 1.5 || gap > math.max(4.0 * medianPos, ref))
+          runs += scala.collection.mutable.ArrayBuffer(b)
+        else runs.last += b
+      }
+      val y = items.map(_.y0).min
+      val rr = runs.map(rg => f"${rg.map(_.x0).min}%.0f'" +
+        graft.textkit.SpacingRepair.assembleLineDirect(rg.toSeq).take(24) + "'").mkString(" | ")
+      println(f"y=$y%5.0f sz=$size0%4.1f runs=${runs.length}: $rr")
+    }
+  }
+}
