@@ -125,4 +125,37 @@ class PdfHeaderGroupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(t.cells.filter(_.columnHeader).forall(_.startRow == 0))
     assert(t.cells.forall(c => c.endCol - c.startCol == 1))
   }
+  test("X-cut: a side chart's stray axis label does not break the table band") {
+    import graft.extract.SyntheticPdf.SizedLine
+    // 5-row table at x 72/220/340; a chart region at x 520 with its own
+    // label lines; TWO table rows also carry a stray axis label at 520 —
+    // without the X-cut those rows have 4 runs vs 3 and the band breaks
+    val colX = Seq(72.0, 220.0, 340.0)
+    val tableRows = Seq(
+      Seq("Indicatori", "Anul curent", "Anul trecut"),
+      Seq("Venituri totale", "245.140", "194.356"),
+      Seq("Cheltuieli", "158.065", "126.792"),
+      Seq("Profit net", "42.916", "31.245"),
+      Seq("Active", "418.244", "361.665"))
+    val rows = tableRows.zipWithIndex.map { case (cs, i) =>
+      val cells = colX.zip(cs) ++
+        (if (i == 1) Seq((520.0, "400")) else if (i == 3) Seq((520.0, "200")) else Nil)
+      SizedLine("", 10, if (i == 0) 0 else 14, cells = cells)
+    }
+    val chartLines = Seq(
+      SizedLine("", 10, 14, cells = Seq((520.0, "Total"))),
+      SizedLine("", 10, 14, cells = Seq((520.0, "Active"))),
+      SizedLine("", 10, 14, cells = Seq((520.0, "mil. RON"))),
+      SizedLine("", 10, 14, cells = Seq((520.0, "300"))))
+    val pdf = graft.extract.SyntheticPdf.pdfSized(Seq(rows ++ chartLines))
+    val doc = PdfLayout.buildDoc("doc://xcut", pdf)
+    val tables = doc.items.filter(_.table.nonEmpty)
+    assert(tables.length == 1, doc.items.map(i => (i.kind, i.text)).mkString("; "))
+    val t = tables.head.table.get
+    assert(t.numCols == 3 && t.numRows == 5, s"${t.numRows}x${t.numCols}")
+    // the axis labels survive as chart-region TEXT, not table cells
+    val texts = doc.items.filter(_.table.isEmpty).map(_.text).mkString(" ")
+    assert(texts.contains("400") && texts.contains("Total"))
+  }
+
 }
