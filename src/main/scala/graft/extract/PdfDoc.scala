@@ -41,7 +41,9 @@ object PdfDoc {
   private[extract] def unpredict(bytes: Array[Byte], predictor: Int,
                                  colors: Int, bpc: Int, columns: Int): Array[Byte] = {
     if (predictor <= 1 || bytes.isEmpty) return bytes
-    val bpp = math.max(1, colors * bpc / 8)
+    // PNG defines bpp as ceil(colors*bpc/8): sub-byte geometries (e.g.
+    // Colors=3, BitsPerComponent=4) filter against the previous 2 bytes
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
     val rowLen = (columns.toLong * colors * bpc + 7) / 8
     if (rowLen <= 0 || rowLen > (1 << 24)) return bytes
     val rl = rowLen.toInt
@@ -389,13 +391,18 @@ object PdfDoc {
       // the authoritative object map for files written without a classic
       // xref keyword. Entries are fixed-width binary rows (/W widths,
       // /Index subsections), normally Flate+PNG-predictor compressed —
-      // decodeStream + applyPredictor above handle that. Processed in FILE
-      // ORDER so a later (newer incremental revision) stream's entries win;
-      // classic-xref entries keep top priority (hybrid-reference files).
-      // type-1 rows give direct offsets (re-parsed at authority, overriding
-      // raw-scan guesses); type-2 rows name the ObjStm a member lives in.
-      val xsOffsets = mutable.HashMap.empty[Int, Int]     // num -> offset
-      val xsInObjStm = mutable.HashMap.empty[Int, Int]    // num -> objstm num
+      // decodeStream + applyPredictor above handle that. Per object we keep
+      // ONE winning entry — the last seen in FILE ORDER across all streams,
+      // INCLUDING type-0 (free) rows — so an incremental update that deletes
+      // an object, or moves it between a direct definition and an ObjStm,
+      // always resolves from the newest revision's entry (no fixed
+      // type-1-over-type-2 precedence). Classic-xref entries keep top
+      // priority (hybrid-reference files).
+      sealed trait XEntry
+      case object XFree extends XEntry                    // type 0: deleted
+      final case class XDirect(off: Int) extends XEntry   // type 1: offset
+      final case class XInStm(stm: Int) extends XEntry    // type 2: ObjStm
+      val xsWinner = mutable.HashMap.empty[Int, XEntry]
       m.toList.collect {
         case (n, st @ PStream(d, _)) if d.v.get("Type").contains(PName("XRef")) =>
           (objPos.getOrElse(n, 0), st)
@@ -429,9 +436,10 @@ object PdfDoc {
                 val f2 = field(w(1)); val f3 = field(w(2))
                 val num = start + k
                 t match {
-                  case 1 if f2 >= 0 && f2 < s.length => xsOffsets(num) = f2.toInt
-                  case 2 if f2 >= 0 && f2 <= Int.MaxValue => xsInObjStm(num) = f2.toInt
-                  case _ => () // free (0) or unknown types: skip
+                  case 0 => xsWinner(num) = XFree
+                  case 1 if f2 >= 0 && f2 < s.length => xsWinner(num) = XDirect(f2.toInt)
+                  case 2 if f2 >= 0 && f2 <= Int.MaxValue => xsWinner(num) = XInStm(f2.toInt)
+                  case _ => () // unknown types: skip (ISO 32000: treat as null)
                 }
                 locally { val _ = f3 } // gen / objstm index: not needed here
                 k += 1
@@ -440,9 +448,12 @@ object PdfDoc {
           }
         } catch { case _: Exception => }
       }
-      val fromXrefStream = xsOffsets.keySet.toSet
-      xsOffsets.foreach { case (num, off) =>
-        if (!fromXref.contains(num)) parseAt(num, off)
+      // Phase 1: winning DIRECT entries re-parse at authority (overriding
+      // raw-scan guesses) — this also loads the ObjStm containers that
+      // phase 2's type-2 members live in.
+      xsWinner.foreach {
+        case (num, XDirect(off)) if !fromXref.contains(num) => parseAt(num, off)
+        case _ =>
       }
 
       // PDF 1.5+ object streams: explode /Type /ObjStm payloads (N pairs of
@@ -478,11 +489,21 @@ object PdfDoc {
           } catch { case _: Exception => }
         case _ =>
       }
-      xsInObjStm.foreach { case (num, stmNum) =>
-        if (!fromXref.contains(num) && !fromXrefStream.contains(num))
+      // Phase 2: winning type-2 entries resolve from the NAMED ObjStm (the
+      // live revision), overriding any raw-scan direct definition.
+      xsWinner.foreach {
+        case (num, XInStm(stmNum)) if !fromXref.contains(num) =>
           byStm.get((stmNum, num)).foreach(v => m(num) = v)
+        case _ =>
       }
       fromObjStm.foreach { case (num, v) => if (!m.contains(num)) m(num) = v }
+      // Phase 3 (last, after all fills): winning FREE entries delete — a
+      // stale direct definition or ObjStm copy of a deleted object must not
+      // resurface through the raw scan or the absentee fill.
+      xsWinner.foreach {
+        case (num, XFree) if !fromXref.contains(num) => m.remove(num)
+        case _ =>
+      }
       m.toMap
     }
 

@@ -482,10 +482,19 @@ object PdfLayout {
     // running footers). Docling exports BODY content only — the reference
     // golden contains none of it — so these flip to the furniture layer and
     // the renderer drops them. Items are kept (counts stay stable); only
-    // the content layer changes.
+    // the content layer changes. Restricted to the page-MARGIN zones (top/
+    // bottom 12% y bands, where headers/footers live): a genuinely repeated
+    // mid-page BODY element (identical disclaimer paragraph, repeated small
+    // table) must never be silently demoted.
     val itemsOut =
       if (pages.length < 4) items.toArray
       else {
+        val heightOf: Map[Int, Double] =
+          pages.map(p => p.pageNo -> p.height).toMap
+        def inMarginZone(it: DocItem): Boolean = it.bbox.exists { bx =>
+          val h = heightOf.getOrElse(it.pageNo, 792.0)
+          bx.b <= h * 0.12 || bx.t >= h * 0.88
+        }
         def keyOf(it: DocItem): String =
           it.kind + "|" +
             it.bbox.map(bx => s"${math.round(bx.t / 20)}:${math.round(bx.l / 20)}")
@@ -496,7 +505,7 @@ object PdfLayout {
           .map { case (k, its) => k -> its.map(_.pageNo).distinct.size }
         val cutoff = math.max(3, pages.length / 2)
         items.map { it =>
-          if (pagesByKey(keyOf(it)) >= cutoff)
+          if (inMarginZone(it) && pagesByKey(keyOf(it)) >= cutoff)
             it.copy(contentLayer = ContentLayer.Furniture)
           else it
         }.toArray

@@ -359,7 +359,14 @@ object Pipeline {
     // `statsInResultStage = true` is the caller's promise that the returned
     // dataset is consumed WITHOUT any further exchange (e.g. the fused
     // commit: scan -> parse -> partitioned write is one result stage).
-    require((shuffle && !shuffleAfterParse) || statsInResultStage || statsAcc.isEmpty,
+    // shuffleAfterParse structurally breaks the promise regardless of
+    // statsInResultStage: the function itself adds a post-parse exchange, so
+    // the accumulating mapPartitions always lands in a shuffle-map stage.
+    require(statsAcc.isEmpty || !shuffleAfterParse,
+      "statsAcc is incompatible with shuffleAfterParse: the post-parse " +
+        "exchange puts the accumulator in a shuffle-map stage where task " +
+        "retries double-count")
+    require(shuffle || statsInResultStage || statsAcc.isEmpty,
       "statsAcc requires the input-shuffle mode: accumulator updates are " +
         "exactly-once only in a result stage (or pass statsInResultStage " +
         "when the caller guarantees no downstream exchange)")

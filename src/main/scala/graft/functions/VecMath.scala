@@ -17,41 +17,53 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * 526k-pair sf0.1 probe join this is the hot path: the interpreted fold
   * dominated the stage (see PLANS.md round-4 notes).
   *
-  * Null contract: null input array -> null (nullSafe); null ELEMENTS are
-  * skipped (our vectors are dense, non-null by construction — vecsD casts a
-  * parquet float array).
+  * Null contract: null input array -> null (nullSafe); RAGGED input (length
+  * mismatch) -> null, matching the zip_with fold (zip_with pads the shorter
+  * side with null, poisoning the sum). Null ELEMENTS within equal-length
+  * arrays are skipped — a deliberate deviation from the SQL fold (which
+  * would return null); our vectors are dense, non-null by construction
+  * (vecsD casts a parquet float array), so the branch is never taken there.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = VecMath.checkVecInputs(this)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged inputs yield null
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecMath.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecMath.dot($a, $b);")
+      s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.VecMath.dot($a, $b); }""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
 }
 
 /** Sum of squared component differences (squared L2 distance). Same fold
-  * order as `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, ...)`. */
+  * order as `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, ...)`;
+  * same null contract as [[DotProduct]] (ragged -> null). */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = VecMath.checkVecInputs(this)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // ragged inputs yield null
   override def prettyName: String = "sq_dist"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecMath.sqDist(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecMath.sqDist($a, $b);")
+      s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.VecMath.sqDist($a, $b); }""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDist =
     copy(left = l, right = r)
