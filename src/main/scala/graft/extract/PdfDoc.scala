@@ -273,6 +273,21 @@ object PdfDoc {
   final class Document(pdf: Array[Byte]) {
     private val s = new String(pdf, ISO_8859_1)
 
+    /** Which object a stream body belongs to (num, gen) — needed for the
+      * per-object decryption key. Identity-keyed: each parsed PStream is a
+      * distinct instance. Populated during `objects` construction. */
+    private val streamOwner = new java.util.IdentityHashMap[PStream, Array[Int]]()
+    /** Set during construction when /Encrypt parses to a supported handler
+      * with an empty user password. */
+    private var decryptorOpt: Option[PdfCrypt.Decryptor] = None
+    /** /Encrypt present but locked (real password) or unsupported: encrypted
+      * stream bodies degrade to empty rather than decoding garbage. */
+    private var encryptedLocked: Boolean = false
+    /** True when the document is encrypted and could NOT be opened with the
+      * empty user password — callers must not fall back to raw byte scans
+      * (they would read ciphertext). */
+    def locked: Boolean = encryptedLocked
+
     /** obj number -> file offset, from every classic xref section in file
       * order (incremental updates later in the file override). */
     private def xrefOffsets: Map[Int, Int] = {
@@ -321,14 +336,20 @@ object PdfDoc {
       val objPos = mutable.HashMap.empty[Int, Int] // direct objects: file offset
       def parseAt(num: Int, at: Int): Unit = {
         // expect "N G obj" at/near the offset
-        val hm = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+\\d+\\s+obj\\b")
+        val hm = java.util.regex.Pattern.compile("\\G\\s*(\\d+)\\s+(\\d+)\\s+obj\\b")
           .matcher(s)
         hm.region(at, math.min(at + 48, s.length))
         if (!hm.lookingAt() || safeInt(hm.group(1)) != num) return
+        val gen = math.max(0, safeInt(hm.group(2)))
         val p = new ObjParser(s, at + (hm.end() - hm.regionStart()))
         val v = try p.value() catch { case _: Exception => return }
         p.ws()
-        m(num) = attachStream(v, p)
+        val attached = attachStream(v, p)
+        attached match {
+          case st: PStream => streamOwner.put(st, Array(num, gen))
+          case _ =>
+        }
+        m(num) = attached
         objPos(num) = at
       }
       def attachStream(v: P, p: ObjParser): P =
@@ -359,7 +380,7 @@ object PdfDoc {
       // phantom objects.
       val fromXref = m.keySet.toSet
       locally {
-        val objRe = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+        val objRe = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
         var pos = 0
         var continue = true
         while (continue) {
@@ -367,11 +388,16 @@ object PdfDoc {
           if (!mt.find(pos)) continue = false
           else {
             val num = safeInt(mt.group(1))
+            val gen = math.max(0, safeInt(mt.group(2)))
             val p = new ObjParser(s, mt.end())
             try {
               val v = p.value()
               p.ws()
               val attached = attachStream(v, p)
+              attached match {
+                case st: PStream => streamOwner.put(st, Array(num, gen))
+                case _ =>
+              }
               if (num >= 0 && !fromXref.contains(num)) {
                 m(num) = attached
                 objPos(num) = mt.start()
@@ -456,6 +482,10 @@ object PdfDoc {
         case _ =>
       }
 
+      // /Encrypt must resolve BEFORE ObjStm explosion (object streams are
+      // encrypted; xref streams, already processed above, never are).
+      buildDecryptor(m)
+
       // PDF 1.5+ object streams: explode /Type /ObjStm payloads (N pairs of
       // "objnum offset" then the serialized objects at /First + offset).
       // An xref-stream type-2 entry names the LIVE ObjStm for its member —
@@ -507,20 +537,151 @@ object PdfDoc {
       m.toMap
     }
 
+    /** Locate /Encrypt (classic trailer dicts + xref-stream dicts) and the
+      * first /ID string, and build the stream decryptor for the empty-user-
+      * password case. Locked or unsupported handlers leave encryptedLocked
+      * set: encrypted bodies then degrade to empty (never garbage). */
+    private def buildDecryptor(m: collection.Map[Int, P]): Unit = {
+      var encRef: Option[P] = None
+      var idFirst: Array[Byte] = Array.empty
+      def takeFrom(d: Map[String, P]): Unit = {
+        if (encRef.isEmpty) d.get("Encrypt").foreach(e => encRef = Some(e))
+        if (idFirst.isEmpty) d.get("ID") match {
+          case Some(PArr(items)) => items.headOption match {
+            case Some(PStr(raw)) => idFirst = raw.getBytes(ISO_8859_1)
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+      val tRe = java.util.regex.Pattern.compile("trailer").matcher(s)
+      while (tRe.find()) {
+        val p = new ObjParser(s, tRe.end())
+        try p.value() match { case PDict(mm) => takeFrom(mm); case _ => }
+        catch { case _: Exception => }
+      }
+      m.values.foreach {
+        case PStream(d, _) if d.v.get("Type").contains(PName("XRef")) =>
+          takeFrom(d.v)
+        case _ =>
+      }
+      if (encRef.isEmpty) return
+      def res(p: P): P = p match {
+        case PRef(n) => m.get(n).map(res).getOrElse(PWord("null"))
+        case other => other
+      }
+      val enc = res(encRef.get) match {
+        case PDict(mm) => mm
+        case PStream(d, _) => d.v
+        case _ => Map.empty[String, P]
+      }
+      encryptedLocked = true // until proven decryptable
+      if (res(enc.getOrElse("Filter", PWord("null"))) != PName("Standard")) return
+      def strOf(k: String): Array[Byte] = res(enc.getOrElse(k, PWord("null"))) match {
+        case PStr(raw) => raw.getBytes(ISO_8859_1)
+        case _ => Array.empty
+      }
+      def intOf(k: String, dflt: Int): Int = res(enc.getOrElse(k, PWord("null"))) match {
+        case PNum(v) => v.toInt
+        case _ => dflt
+      }
+      val v = intOf("V", 0)
+      val r = intOf("R", 0)
+      val encryptMetadata =
+        res(enc.getOrElse("EncryptMetadata", PWord("true"))) != PWord("false")
+      // V4/V5: /StmF names the crypt filter for streams; its /CFM is the
+      // method. Default StmF is Identity per spec.
+      val stmCfm: String =
+        if (v >= 4) {
+          res(enc.getOrElse("StmF", PName("Identity"))) match {
+            case PName("Identity") => "Identity"
+            case PName(stmF) =>
+              res(enc.getOrElse("CF", PWord("null"))) match {
+                case PDict(cf) => res(cf.getOrElse(stmF, PWord("null"))) match {
+                  case PDict(cfd) => res(cfd.getOrElse("CFM", PWord("null"))) match {
+                    case PName(nm) => nm
+                    case _ => ""
+                  }
+                  case _ => ""
+                }
+                case _ => ""
+              }
+            case _ => "Identity"
+          }
+        } else ""
+      PdfCrypt.standard(v, r, intOf("Length", 40), strOf("O"), strOf("U"),
+          strOf("UE"), intOf("P", -1), idFirst, encryptMetadata, stmCfm) match {
+        case Some(dc) => decryptorOpt = Some(dc); encryptedLocked = false
+        case None => // stays locked
+      }
+    }
+
+    /** Raw stream body after decryption (xref streams are NEVER encrypted;
+      * ISO 32000-1 §7.5.8.2). Locked documents yield empty. */
+    private def rawOf(st: PStream): String = {
+      if (decryptorOpt.isEmpty && !encryptedLocked) st.raw
+      else if (st.dict.v.get("Type").contains(PName("XRef"))) st.raw
+      else if (encryptedLocked) ""
+      else {
+        val own = streamOwner.get(st)
+        if (own == null) st.raw
+        else new String(decryptorOpt.get.decrypt(own(0), own(1),
+          st.raw.getBytes(ISO_8859_1)), ISO_8859_1)
+      }
+    }
+
+    private def lzwEarlyChange(dict: Map[String, P], derefFn: P => P): Int = {
+      val parms: Map[String, P] =
+        dict.get("DecodeParms").map(derefFn).orElse(dict.get("DP").map(derefFn)) match {
+          case Some(PDict(mm)) => mm
+          case Some(PArr(a)) =>
+            a.map(derefFn).collectFirst { case PDict(mm) => mm }.getOrElse(Map.empty)
+          case _ => Map.empty
+        }
+      parms.get("EarlyChange").map(derefFn) match {
+        case Some(PNum(v)) => v.toInt
+        case _ => 1
+      }
+    }
+
+    /** Apply the /Filter chain in order. Unknown filters (DCTDecode and
+      * friends) carry no text -> empty; predictors apply after Flate/LZW. */
+    private def applyFilterChain(dict: Map[String, P], raw: String,
+                                 derefFn: P => P): String = {
+      val filters = derefFn(dict.getOrElse("Filter", PWord("null"))) match {
+        case PName(n) => List(n)
+        case PArr(a) => a.map(derefFn).collect { case PName(n) => n }.toList
+        case _ => Nil
+      }
+      if (filters.isEmpty) return raw
+      filters.foldLeft(Option(raw)) { (acc, f) =>
+        acc.flatMap { data =>
+          def bytes = data.getBytes(ISO_8859_1)
+          f match {
+            case "FlateDecode" | "Fl" =>
+              inflate(data).map(applyPredictor(dict, _))
+            case "LZWDecode" | "LZW" =>
+              Some(applyPredictor(dict, new String(
+                PdfFilters.lzwDecode(bytes, lzwEarlyChange(dict, derefFn)),
+                ISO_8859_1)))
+            case "RunLengthDecode" | "RL" =>
+              Some(new String(PdfFilters.runLengthDecode(bytes), ISO_8859_1))
+            case "ASCIIHexDecode" | "AHx" =>
+              Some(new String(PdfFilters.asciiHexDecode(bytes), ISO_8859_1))
+            case "ASCII85Decode" | "A85" =>
+              Some(new String(PdfFilters.ascii85Decode(bytes), ISO_8859_1))
+            case "Crypt" => Some(data) // decryption already applied by rawOf
+            case _ => None // image filters carry no text
+          }
+        }
+      }.getOrElse("")
+    }
+
     /** Stream decode usable during construction (before `objects` is final,
       * so no deref: direct /Filter names only — indirect /Length is already
       * handled by attachStream's endstream scan). */
-    private def decodeStream(st: PStream): String = {
-      val filters = st.dict.v.get("Filter") match {
-        case Some(PName(n)) => List(n)
-        case Some(PArr(a)) => a.collect { case PName(n) => n }.toList
-        case _ => Nil
-      }
-      if (filters.contains("FlateDecode"))
-        inflate(st.raw).map(applyPredictor(st.dict.v, _)).getOrElse("")
-      else if (filters.isEmpty) st.raw
-      else ""
-    }
+    private def decodeStream(st: PStream): String =
+      applyFilterChain(st.dict.v, rawOf(st), (p: P) => p)
 
     /** /DecodeParms predictor pass (direct values only — xref/object streams
       * write them inline). Identity when no predictor is declared. */
@@ -553,18 +714,9 @@ object PdfDoc {
       case _ => 0.0
     }
 
-    /** Decoded stream data (FlateDecode or raw) as a latin-1 string. */
+    /** Decoded stream data (decrypt + full filter chain) as latin-1. */
     def streamData(p: P): String = deref(p) match {
-      case PStream(d, raw) =>
-        val filters = d.v.get("Filter").map(deref) match {
-          case Some(PName(n)) => List(n)
-          case Some(PArr(a)) => a.map(deref).collect { case PName(n) => n }.toList
-          case _ => Nil
-        }
-        if (filters.contains("FlateDecode"))
-          inflate(raw).map(applyPredictor(d.v, _)).getOrElse("")
-        else if (filters.isEmpty) raw
-        else "" // image filters (DCT etc.) carry no text
+      case st: PStream => applyFilterChain(st.dict.v, rawOf(st), deref)
       case _ => ""
     }
 
@@ -1193,11 +1345,18 @@ object PdfDoc {
   /** Glyphs via the document model when a page tree parses AND produced at
     * least one glyph; otherwise the legacy minimal-scan path (conforming
     * minimal PDFs without xref, or page trees whose content streams all
-    * failed to decode — e.g. unsupported filters). */
+    * failed to decode — e.g. unsupported filters). A LOCKED encrypted
+    * document (password required / unsupported handler) yields empty with
+    * NO fallback: the raw scan would only read ciphertext. */
   def extractGlyphsAuto(pdf: Array[Byte],
                         fallbackPageHeight: Double = 792.0): Map[Int, Seq[Glyph]] = {
-    val viaModel = try extractGlyphs(pdf) catch { case _: Exception => Map.empty[Int, Seq[Glyph]] }
+    val docOpt = try Some(new Document(pdf)) catch { case _: Exception => None }
+    val viaModel = docOpt.map { doc =>
+      try doc.pages.map(pg => pg.pageNo -> doc.interpretPage(pg)).toMap
+      catch { case _: Exception => Map.empty[Int, Seq[Glyph]] }
+    }.getOrElse(Map.empty[Int, Seq[Glyph]])
     if (viaModel.values.exists(_.nonEmpty)) viaModel
+    else if (docOpt.exists(_.locked)) Map.empty
     else PdfText.extractGlyphs(pdf, fallbackPageHeight)
   }
 

@@ -263,42 +263,7 @@ class PdfDocSpec extends AnyFunSuite {
     * Subrs, 3 dummy charstrings; charset fmt0 maps GID1->SID 391 (abreve,
     * custom string) and GID2->SID 34 (A, standard string); encoding fmt0
     * maps GID1->code 65, GID2->code 66. */
-  private def buildCff(): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def b(v: Int*): Unit = v.foreach(x => out.write(x & 0xFF))
-    def str(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
-    b(1, 0, 4, 1)                     // header
-    b(0, 1, 1, 1, 5); str("Test")     // Name INDEX
-    val topDictIndexPos = out.size()
-    val dictLen = 18                  // 3 x (5-byte int32 operand + 1-byte op)
-    b(0, 1, 1, 1, dictLen + 1)        // Top DICT INDEX header
-    val dictPos = out.size()
-    // operand placeholders patched below
-    b(29, 0, 0, 0, 0, 15)             // charset
-    b(29, 0, 0, 0, 0, 16)             // Encoding
-    b(29, 0, 0, 0, 0, 17)             // CharStrings
-    assert(out.size() - dictPos == dictLen)
-    b(0, 1, 1, 1, 7); str("abreve")   // String INDEX
-    b(0, 0)                           // Global Subr INDEX (empty)
-    val charsetPos = out.size()
-    b(0, 391 >> 8, 391 & 0xFF, 0, 34) // charset fmt0: GID1=abreve GID2=A
-    val encodingPos = out.size()
-    b(0, 2, 65, 66)                   // encoding fmt0: 2 codes
-    val charStringsPos = out.size()
-    b(0, 3, 1, 1, 2, 3, 4, 14, 14, 14) // 3 x endchar
-    val bytes = out.toByteArray
-    def patch(at: Int, v: Int): Unit = {
-      bytes(at + 1) = ((v >> 24) & 0xFF).toByte
-      bytes(at + 2) = ((v >> 16) & 0xFF).toByte
-      bytes(at + 3) = ((v >> 8) & 0xFF).toByte
-      bytes(at + 4) = (v & 0xFF).toByte
-    }
-    patch(dictPos, charsetPos)
-    patch(dictPos + 6, encodingPos)
-    patch(dictPos + 12, charStringsPos)
-    locally { val _ = topDictIndexPos }
-    bytes
-  }
+  private def buildCff(): Array[Byte] = TestPdfs.buildCff()
 
   test("CFF built-in encoding: custom-string and standard-string SIDs resolve") {
     val enc = CffEncoding.builtinEncoding(buildCff())
