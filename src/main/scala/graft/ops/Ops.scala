@@ -450,31 +450,42 @@ object Ops {
     * vocabulary corpora. Same relational shape as q15, skew-pruned. */
   def q25NgramJaccardPruned(s: SparkSession, dir: String, threshold: Double = 0.08,
                             maxDocFreq: Int = 50): DataFrame = {
-    // cached: ng feeds the doc-freq count AND the prune join; pruned feeds
-    // the size agg and both pair-join sides (round 1 recomputed it 3x)
+    // raw trigram stream — NO .distinct(): the bounded aggregate below
+    // dedups doc ids per group as part of its single exchange
     val ng = documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
-      .distinct()
+    // Round-5 restructure (verdict task 4): ONE full-relation exchange.
+    // A bounded-distinct aggregate collapses the former distinct + df +
+    // prune-join + totals passes: grouping the raw trigram stream by ng
+    // with per-group state capped at `maxDocFreq` DISTINCT doc ids (plus an
+    // overflow bit for hot trigrams) yields, in a single shuffle with
+    // map-side partial aggregation, both the df <= cap decision AND the
+    // complete id list of every kept group. Everything downstream (sizes,
+    // pair expansion) derives from that aggregate, which is vocabulary-
+    // sized, not corpus-sized. Singletons (df = 1) — the bulk of a Zipfian
+    // vocabulary — still count toward sizes (the oracle's n = the doc's
+    // distinct trigrams with df <= cap) but are excluded from pair
+    // expansion, where they can never intersect.
+    val bd = udaf(new BoundedDistinctIds(maxDocFreq))
+    val grouped = ng.groupBy($"ng").agg(bd($"doc_id").as("bs"))
+    // cache the KEPT groups only: id lists, no ng strings, no hot groups —
+    // the shared intermediate for sizes + pair expansion is vocabulary-
+    // sized with <= cap longs per row
+    val keptGroups = grouped
+      .filter(!$"bs.overflow")
+      .select($"bs.ids".as("ids"))
       .cache()
-    val rare = ng.groupBy($"ng").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxDocFreq)
-      .select($"ng")
-    // kept is hash-partitioned on ng by the prune join, so the
-    // group-to-doc-list agg below adds NO exchange, and the doc-freq cap
-    // BOUNDS its per-group state (collect_list only ever sees <= cap ids —
-    // the two-pass order matters: df-filter first, collect second)
-    val kept = ng.join(rare, "ng").cache()
-    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n_ng"))
-    // row-local pair expansion (<= cap^2/2 pairs per group) replaces round
-    // 3's shingle self-join: the pairs shuffle once as (id_a, id_b) partial
-    // counts with map-side combine instead of shuffling the shingle
-    // relation twice through a join
-    val inter = kept.groupBy($"ng")
-      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+    val sizes = keptGroups
+      .select(explode($"ids").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_ng"))
+    // row-local pair expansion (<= cap^2/2 pairs per group): the pairs
+    // shuffle once as (id_a, id_b) partial counts with map-side combine
+    val inter = keptGroups
       .filter(size($"ids") >= 2) // sequence(0, -1) would DESCEND in Spark
+      .select(sort_array($"ids").as("ids"))
       .select(explode(expr(
         "flatten(transform(sequence(0, size(ids)-2), " +
           "i -> transform(sequence(i+1, size(ids)-1), " +
@@ -489,7 +500,7 @@ object Ops {
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
-    materializeAndRelease(out, ng, kept)
+    materializeAndRelease(out, keptGroups)
   }
 
   /** Skew pattern: two-phase salted aggregation over a hot grouping key.
@@ -842,4 +853,30 @@ object Ops {
   private implicit class Dollar(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.parts.mkString)
   }
+}
+
+/** Bounded distinct-id set for the pruned-Jaccard single-exchange plan
+  * (q25): accumulates at most `bound` DISTINCT longs per group; one more
+  * distinct value flips `overflow` and freezes the list. Per-group state is
+  * therefore O(bound) regardless of how hot the key is — a boilerplate
+  * trigram shared by 10^9 documents costs the same 50-slot buffer as a rare
+  * one, which is what makes the plan safe at corpus scale. Kept groups
+  * (overflow = false) carry their COMPLETE, exact id set. */
+final case class BoundedIdSet(overflow: Boolean, ids: Seq[Long])
+
+final class BoundedDistinctIds(bound: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, BoundedIdSet, BoundedIdSet] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: BoundedIdSet = BoundedIdSet(overflow = false, Vector.empty)
+  override def reduce(b: BoundedIdSet, a: Long): BoundedIdSet =
+    if (b.overflow || b.ids.contains(a)) b
+    else if (b.ids.size >= bound) BoundedIdSet(overflow = true, b.ids)
+    else BoundedIdSet(overflow = false, b.ids :+ a)
+  override def merge(x: BoundedIdSet, y: BoundedIdSet): BoundedIdSet =
+    if (x.overflow) x
+    else if (y.overflow) y
+    else y.ids.foldLeft(x)(reduce)
+  override def finish(r: BoundedIdSet): BoundedIdSet = r
+  override def bufferEncoder: Encoder[BoundedIdSet] = Encoders.product[BoundedIdSet]
+  override def outputEncoder: Encoder[BoundedIdSet] = Encoders.product[BoundedIdSet]
 }
