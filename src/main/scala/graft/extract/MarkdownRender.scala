@@ -91,6 +91,11 @@ object MarkdownRender {
     item.kind match {
       case ItemKind.Picture => Some(renderPicture(item, imageMode, pictureOrdinal))
       case ItemKind.Table => item.table.map(renderTable).filter(_.nonEmpty)
+      case ItemKind.KeyValue =>
+        // one list line per pair — keeps every token in the body export
+        item.kv.filter(_.nonEmpty).map(_.map(p =>
+          "- " + escapeUnderscores(p.key) + ": " + escapeUnderscores(p.value))
+          .mkString("\n"))
       case _ =>
         val text = Option(item.text).getOrElse("")
         if (text.isEmpty) None
@@ -164,6 +169,13 @@ object MarkdownRender {
       if (item.contentLayer == ContentLayer.Body && exportLabels.contains(item.label)) {
         item.kind match {
           case ItemKind.Picture => ()
+          case ItemKind.KeyValue =>
+            // one key/value per line, like table cells: a space join would
+            // let the space-grouped number pattern merge adjacent values
+            item.kv.foreach(_.foreach { p =>
+              if (p.key.nonEmpty) { if (out.nonEmpty) out += '\n'; out ++= p.key }
+              if (p.value.nonEmpty) { if (out.nonEmpty) out += '\n'; out ++= p.value }
+            })
           case ItemKind.Table =>
             item.table.foreach { t =>
               // one cell per line: a space join would let the space-grouped

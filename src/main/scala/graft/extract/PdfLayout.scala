@@ -257,6 +257,49 @@ object PdfLayout {
   }
 
   /** Build a Doc from a PDF payload. */
+  /** Currency codes, numbers (grouped/decimal, signed, %), dd/mm/yyyy dates
+    * and the delta symbol count as VALUE tokens of a key-value line. */
+  private val KvCurrency = Set("RON", "EUR", "USD", "GBP", "MDL", "CHF", "Δ%", "%")
+  private def isKvValueToken(t: String): Boolean =
+    KvCurrency.contains(t) || t.matches("-?\\d[\\d.,]*%?") ||
+      t.matches("\\d{2}/\\d{2}/\\d{4}")
+
+  /** Split a line into (label head, value tail): the shortest all-value
+    * suffix of >= 2 tokens following a head with at least one alphabetic
+    * token. None = not a key-value line. */
+  private[extract] def kvOf(text: String): Option[KvPair] = {
+    val toks = text.trim.split("\\s+").toSeq
+    if (toks.length < 3) return None
+    // smallest split point whose tail is all value tokens
+    var i = toks.length - 1
+    while (i > 0 && isKvValueToken(toks(i - 1))) i -= 1
+    if (i < 1 || toks.length - i < 2) return None
+    val head = toks.take(i)
+    if (!head.exists(_.exists(_.isLetter))) return None
+    Some(KvPair(head.mkString(" "), toks.drop(i).mkString(" ")))
+  }
+
+  /** Partition a text block into alternating fragments: (true, kvLines) for
+    * maximal runs of >= 3 consecutive key-value lines, (false, rest)
+    * otherwise, preserving order. */
+  private def kvBands(block: Seq[VLine]): Seq[(Boolean, Seq[VLine])] = {
+    val flags = block.map(l => kvOf(l.text).isDefined)
+    val out = mutable.ArrayBuffer.empty[(Boolean, Seq[VLine])]
+    var i = 0
+    while (i < block.length) {
+      val f = flags(i)
+      var j = i
+      while (j + 1 < block.length && flags(j + 1) == f) j += 1
+      val run = block.slice(i, j + 1)
+      if (f && run.length >= 3) out += ((true, run))
+      else if (out.nonEmpty && !out.last._1) // merge short kv runs into text
+        out(out.length - 1) = (false, out.last._2 ++ run)
+      else out += ((false, run))
+      i = j + 1
+    }
+    out.toSeq
+  }
+
   def buildDoc(url: String, pdf: Array[Byte], pageHeight: Double = 792.0): Doc = {
     // real-world PDFs go through the document model (page tree, decoded
     // fonts, real page sizes); minimal/synthetic PDFs without a parseable
@@ -455,22 +498,37 @@ object PdfLayout {
             Some(TableData(nRows, nCols, (headerCells ++ dataCells).toArray)))
           idx += 1
         } else {
-          for (group <- columnGroups(segLines); block <- blocksOf(group)) {
-            val label = classify(block.map(_.size).max, block.head.text)
-            val bbox = Bbox(block.map(_.x0).min, block.map(_.yTop).min,
-              block.map(_.x1).max, block.map(_.yBottom).max, Bbox.TopLeft)
+          for (group <- columnGroups(segLines); block <- blocksOf(group);
+               (isKv, frag) <- kvBands(block)) {
+            if (isKv) {
+              // key-value band: label head + all-value tail per line, >= 3
+              // consecutive lines. Emitted as docling key_value_items-style
+              // structure instead of flowing as glued prose (these are the
+              // statement-page layouts only an ML model calls tables).
+              val pairs = frag.flatMap(l => kvOf(l.text)).toArray
+              val bbox = Bbox(frag.map(_.x0).min, frag.map(_.yTop).min,
+                frag.map(_.x1).max, frag.map(_.yBottom).max, Bbox.TopLeft)
+              items += DocItem(idx, ItemKind.KeyValue, Label.KeyValueRegion,
+                ContentLayer.Body, pageNo, Some(bbox), "", None, kv = Some(pairs))
+              idx += 1
+            } else {
+            val block2 = frag
+            val label = classify(block2.map(_.size).max, block2.head.text)
+            val bbox = Bbox(block2.map(_.x0).min, block2.map(_.yTop).min,
+              block2.map(_.x1).max, block2.map(_.yBottom).max, Bbox.TopLeft)
             if (label == Label.ListItem) {
               // one item per "- " line, preserving order
-              for (line <- block) {
+              for (line <- block2) {
                 items += DocItem(idx, ItemKind.Text, Label.ListItem, ContentLayer.Body,
                   pageNo, Some(bbox), line.text.stripPrefix("- "), None)
                 idx += 1
               }
             } else {
-              val text = block.map(_.text).mkString(" ")
+              val text = block2.map(_.text).mkString(" ")
               items += DocItem(idx, ItemKind.Text, label, ContentLayer.Body,
                 pageNo, Some(bbox), text, None)
               idx += 1
+            }
             }
           }
         }

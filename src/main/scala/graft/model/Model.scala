@@ -27,11 +27,20 @@ case class TableCell(
 
 case class TableData(numRows: Int, numCols: Int, cells: Array[TableCell])
 
+/** One key/value pair of a key-value region (docling key_value_items
+  * analog: GraphData cells linked key -> value). */
+case class KvPair(key: String, value: String)
+
 /** Item kinds. */
 object ItemKind {
   val Text = "text"
   val Table = "table"
   val Picture = "picture"
+  /** Label/value band (docling's key_value_items): a layout an ML model
+    * would call a table but whose structure is a list of (label, values)
+    * pairs — the direct PDF path emits these first-class instead of
+    * forcing table structure. */
+  val KeyValue = "key_value"
 }
 
 /** Docling labels actually consumed by the reference
@@ -48,11 +57,18 @@ object Label {
   val ListItem = "list_item"
   val Table = "table"
   val Picture = "picture"
+  /** docling DocItemLabel.KEY_VALUE_REGION — only the direct PDF path
+    * produces it (the reference's docling inputs never carry one, so the
+    * reference export-set semantics are unchanged on that path). */
+  val KeyValueRegion = "key_value_region"
 
   /** Export label set (conversion_utils.py:169-177): default set minus
-    * document_index/page_header/page_footer, plus caption/footnote. */
+    * document_index/page_header/page_footer, plus caption/footnote.
+    * KeyValueRegion is an extension for direct-path key-value bands —
+    * absent from every docling-ingested document. */
   val ExportLabels: Set[String] = Set(
-    Title, SectionHeader, Text, Caption, Footnote, ListItem, Table, Picture)
+    Title, SectionHeader, Text, Caption, Footnote, ListItem, Table, Picture,
+    KeyValueRegion)
   val HeadingLabels: Set[String] = Set(Title, SectionHeader)
 }
 
@@ -74,7 +90,11 @@ case class DocItem(
       * level). Docling's markdown serializer joins a picture's surviving
       * text children into ONE space-joined paragraph — parity with
       * examples/long_report.md requires knowing the parent. */
-    parentIdx: Int = -1)
+    parentIdx: Int = -1,
+    /** pairs for kind == key_value items (None otherwise). Kept separate
+      * from `table` so the table-fix battery and table audits never touch
+      * key-value regions — they live in a different docling collection. */
+    kv: Option[Array[KvPair]] = None)
 
 case class PageDim(pageNo: Int, width: Double, height: Double)
 

@@ -29,6 +29,7 @@ object DoclingJsonExport {
     val texts = mapper.createArrayNode()
     val tables = mapper.createArrayNode()
     val pictures = mapper.createArrayNode()
+    val kvItems = mapper.createArrayNode()
     val body = root.putObject("body")
     body.put("self_ref", "#/body")
     val bodyChildren = body.putArray("children")
@@ -61,6 +62,7 @@ object DoclingJsonExport {
       val (collection, arr) = item.kind match {
         case ItemKind.Table => ("tables", tables)
         case ItemKind.Picture => ("pictures", pictures)
+        case ItemKind.KeyValue => ("key_value_items", kvItems)
         case _ => ("texts", texts)
       }
       val ref = s"#/$collection/${arr.size()}"
@@ -96,6 +98,27 @@ object DoclingJsonExport {
               bb.put("coord_origin", b.origin)
             }
           }
+        case ItemKind.KeyValue =>
+          // GraphData: cell ids 2r (key) / 2r+1 (value), one key->value link
+          // per pair — the docling key_value_items graph shape
+          val graph = node.putObject("graph")
+          val cells = graph.putArray("cells")
+          val links = graph.putArray("links")
+          for ((p, r) <- item.kv.getOrElse(Array.empty).zipWithIndex) {
+            val kc = cells.addObject()
+            kc.put("cell_id", 2 * r)
+            kc.put("label", "key")
+            kc.put("text", p.key)
+            kc.put("orig", p.key)
+            val vc = cells.addObject()
+            vc.put("cell_id", 2 * r + 1)
+            vc.put("label", "value")
+            vc.put("text", p.value)
+            vc.put("orig", p.value)
+            val ln = links.addObject()
+            ln.put("source_cell_id", 2 * r)
+            ln.put("target_cell_id", 2 * r + 1)
+          }
         case _ =>
           node.put("orig", Option(item.text).getOrElse(""))
           node.put("text", Option(item.text).getOrElse(""))
@@ -119,7 +142,7 @@ object DoclingJsonExport {
     root.set("tables", tables)
     root.set("pictures", pictures)
     root.set("groups", mapper.createArrayNode())
-    root.set("key_value_items", mapper.createArrayNode())
+    root.set("key_value_items", kvItems)
     root.set("form_items", mapper.createArrayNode())
     val furniture = root.putObject("furniture")
     furniture.put("self_ref", "#/furniture")

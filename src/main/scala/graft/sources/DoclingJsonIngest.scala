@@ -21,7 +21,7 @@ object DoclingJsonIngest {
 
     def nodeAt(ref: String): JsonNode = {
       // "#/texts/12" -> root.texts(12); path() (not get()) so a $ref into a
-      // collection absent from the export (e.g. #/key_value_items/0, a legal
+      // collection absent from the export (e.g. #/form_items/0, a legal
       // DoclingDocument child we don't model) resolves to a missing node the
       // visitor skips, instead of NPE-ing the whole ingest
       val parts = ref.stripPrefix("#/").split("/")
@@ -93,6 +93,26 @@ object DoclingJsonIngest {
           n.path("children").elements().asScala.foreach(c => visit(c.get("$ref").asText, -1))
         case "groups" =>
           n.path("children").elements().asScala.foreach(c => visit(c.get("$ref").asText, parentIdx))
+        case "key_value_items" =>
+          // GraphData: cells keyed by cell_id, links key -> value; unlinked
+          // key cells keep an empty value
+          val cells = n.path("graph").path("cells").elements().asScala.map { c =>
+            c.path("cell_id").asInt -> (c.path("label").asText("key"), c.path("text").asText(""))
+          }.toMap
+          val linked = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+          n.path("graph").path("links").elements().asScala.foreach { l =>
+            linked(l.path("source_cell_id").asInt) = l.path("target_cell_id").asInt
+          }
+          val pairs = cells.toSeq.sortBy(_._1).collect {
+            case (id, ("key", keyText)) =>
+              val valueText = linked.get(id).flatMap(cells.get).map(_._2).getOrElse("")
+              KvPair(keyText, valueText)
+          }.toArray
+          items += DocItem(idx, ItemKind.KeyValue,
+            n.path("label").asText(Label.KeyValueRegion), layer, pageNo, bbox,
+            "", None, parentIdx, kv = Some(pairs))
+          idx += 1
+          n.path("children").elements().asScala.foreach(c => visit(c.get("$ref").asText, -1))
         case _ => ()
       }
     }

@@ -30,8 +30,43 @@ class DoclingRoundTripSpec extends AnyFunSuite {
         case (None, None) =>
         case _ => fail(s"table presence differs at ${x.idx}")
       }
+      (x.kv, y.kv) match {
+        case (Some(kx), Some(ky)) => assert(kx.toSeq == ky.toSeq, s"kv in ${x.idx}")
+        case (None, None) =>
+        case _ => fail(s"kv presence differs at ${x.idx}")
+      }
     }
     assert(a.pages.toSeq == b.pages.toSeq)
+  }
+
+  test("key_value_items round-trip through the GraphData cells/links shape") {
+    val doc = Doc("doc://kv",
+      Array(
+        DocItem(0, ItemKind.Text, Label.SectionHeader, ContentLayer.Body, 1,
+          Some(Bbox(10, 10, 200, 22, Bbox.TopLeft)), "Indicatori", None),
+        DocItem(1, ItemKind.KeyValue, Label.KeyValueRegion, ContentLayer.Body, 1,
+          Some(Bbox(10, 30, 400, 80, Bbox.TopLeft)), "", None,
+          kv = Some(Array(
+            KvPair("Active imobilizate - total", "RON 281.775.783 RON 243.511.009"),
+            KvPair("Total active", "RON 418.244.920 RON 361.665.930 15,64%")))),
+        DocItem(2, ItemKind.Text, Label.Text, ContentLayer.Body, 1,
+          Some(Bbox(10, 90, 400, 110, Bbox.TopLeft)), "Nota de subsol.", None)),
+      Array(PageDim(1, 612, 792)))
+    val json = graft.sources.DoclingJsonExport.write(doc)
+    // the exported graph must land in key_value_items, not texts
+    assert(json.contains("\"key_value_items\""))
+    assert(json.contains("\"source_cell_id\""))
+    val back = graft.sources.DoclingJsonIngest.parse(json, "doc://kv")
+    assertSameDoc(doc, back)
+  }
+
+  test("the direct-path long_report doc (18 kv items) round-trips") {
+    val pdf = Files.readAllBytes(Paths.get("/root/reference/examples/long_report.pdf"))
+    val doc = PdfLayout.buildDoc("doc://long_report", pdf)
+    assert(doc.items.count(_.kind == ItemKind.KeyValue) >= 10)
+    val back = graft.sources.DoclingJsonIngest.parse(
+      graft.sources.DoclingJsonExport.write(doc), "doc://long_report")
+    assertSameDoc(doc, back)
   }
 
   test("the reference's own 673-text/16-table/80-picture tree round-trips byte-structurally") {

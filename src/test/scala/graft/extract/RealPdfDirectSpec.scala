@@ -19,9 +19,30 @@ class RealPdfDirectSpec extends AnyFunSuite {
     assert(row.page_count == 19)
     // Docling's ML layout finds 16 tables; the glyph-only detector lands on
     // 15 after round 4's banner merge + two-column-prose demotion (was 21
-    // over-segmented). Band: catches both over-splitting and table loss.
-    assert(row.table_count >= 14 && row.table_count <= 18, s"tables=${row.table_count}")
+    // over-segmented). Band tightened in round 5 (was 14..18): key-value
+    // bands now absorb the statement-page label/value layouts, so the table
+    // inventory is stable at 15 +/- 1.
+    assert(row.table_count >= 14 && row.table_count <= 16, s"tables=${row.table_count}")
     assert(row.markdown.linesIterator.count(_.startsWith("#")) >= 20)
+  }
+
+  test("statement-page label/value bands emit as key_value items (round-5 task 5)") {
+    val pdfBytes = Files.readAllBytes(Paths.get("/root/reference/examples/long_report.pdf"))
+    val doc = PdfLayout.buildDoc("doc://long_report", pdfBytes)
+    val kvs = doc.items.filter(_.kind == graft.model.ItemKind.KeyValue)
+    assert(kvs.length >= 10 && kvs.length <= 30, s"kv items=${kvs.length}")
+    // they live on the financial-statement pages, not the prose pages
+    val kvPages = kvs.map(_.pageNo).toSet
+    assert(Seq(11, 12, 17, 18, 19).count(kvPages.contains) >= 4, s"pages=$kvPages")
+    // a flagship indicator row is structured as label -> values
+    val pairs = kvs.flatMap(_.kv.toSeq.flatten)
+    assert(pairs.exists(p => p.key.contains("Datorii c") &&
+      p.value.contains("7.940.564")), "expected 'Datorii catre parti legate' pair")
+    // every pair splits into a worded label and a >= 2-token value tail
+    for (p <- pairs) {
+      assert(p.key.exists(_.isLetter), s"label '${p.key}'")
+      assert(p.value.split(" ").length >= 2, s"value '${p.value}'")
+    }
   }
 
   test("token coverage >= 99.3% and numeric recall >= 95% vs the reference golden") {
