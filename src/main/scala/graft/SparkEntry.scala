@@ -83,6 +83,8 @@ object SparkEntry {
     "q54_page_range_image_modes" -> (ExtractOps.pageRangeImageModes(_, _)),
     "q55_pdf15_pipeline" -> (ExtractOps.pdfPipeline15(_, _)),
     "q56_quality_filter" -> ((s, d) => Ops.q56QualityFilter(s, d)),
+    "q57_streaming_parity" -> (ExtractOps.streamingParity(_, _)),
+    "q58_audit_aggregator" -> (ExtractOps.auditAggregatorParity(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -838,5 +840,19 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INTEGER) AS img_referenced,
         | CAST(CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS INTEGER) AS img_embedded
         |FROM s ORDER BY url""".stripMargin,
+
+    // streaming extraction parity: the foreachBatch sink must hold every url
+    // exactly once (idempotent batch dirs + checkpointed offsets) with
+    // markdown byte-identical to the batch pipeline's
+    "q57_streaming_parity" ->
+      """SELECT 'doc://' || doc_id AS url, TRUE AS streamed_once,
+        | TRUE AS md_match
+        |FROM documents ORDER BY url""".stripMargin,
+
+    // typed-UDAF fold == doc-local audit loop, counter for counter, through
+    // a real shuffle (associativity/commutativity of the damage counters)
+    "q58_audit_aggregator" ->
+      """SELECT 'doc://' || doc_id AS url, TRUE AS agg_matches_doc
+        |FROM documents ORDER BY url""".stripMargin,
   )
 }

@@ -695,6 +695,85 @@ object ExtractOps {
     * surviving duplicates break committed_docs/distinct_urls (= doc count),
     * re-extraction of committed buckets breaks docs_run12, a non-idempotent
     * resume breaks docs_run3, a missing commit breaks snapshots. */
+  /** q57: streaming extraction parity (round-5 verdict task 6). The same
+    * corpus is extracted twice — once through the batch pipeline, once
+    * through StreamingExtract's foreachBatch sink over a 4-file source
+    * drained in >= 2 micro-batches (maxFilesPerTrigger=2) — and the streamed
+    * table must hold every url exactly once with markdown byte-identical to
+    * the batch output. Both invariants have closed forms (TRUE per url) that
+    * break if the streaming path loses, duplicates, or diverges on any doc. */
+  def streamingParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (s"doc://$id", htmlFromText(id, text, lang).getBytes("UTF-8"), text, lang)
+      }
+      .toDF("url", "html", "text", "lang")
+      .cache()
+    val base = java.nio.file.Files.createTempDirectory("graft-q57").toString
+    pages.repartition(4).write.parquet(s"$base/src")
+    val query = graft.streaming.StreamingExtract.stream(
+      s, s"$base/src", s"$base/out", s"$base/chk", numBuckets = 8)
+    query.awaitTermination()
+    val streamed = s.read.parquet(s"$base/out/data")
+    val streamCnt = streamed.groupBy($"url")
+      .agg(count(lit(1)).as("n_stream"), max(xxhash64($"markdown")).as("h_stream"))
+    val batchH = Pipeline.extract(s, pages, numBuckets = 8).toDF()
+      .select($"url", xxhash64($"markdown").as("h_batch"))
+    val out = batchH.join(streamCnt, Seq("url"), "left")
+      .select($"url",
+        (coalesce($"n_stream", lit(0L)) === 1).as("streamed_once"),
+        ($"h_stream" <=> $"h_batch").as("md_match"))
+      .orderBy($"url")
+    val result = out.localCheckpoint()
+    pages.unpersist()
+    result
+  }
+
+  /** q58: the typed UDAF (AuditAggregator over exploded items) must equal
+    * the doc-local audit loop counter-for-counter on every document of the
+    * q31 corpus — the associativity/commutativity proof of the fold,
+    * exercised through a real shuffle. Closed form: TRUE per url. */
+  def auditAggregatorParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val clean = text.split(" ").filter(_.length >= 2).mkString(" ")
+        val parsed = HtmlExtract.parse(s"doc://$id", htmlWithTable(id, clean, lang))
+        val (doc, _) = DocTransforms.applyAll(parsed)
+        doc
+      }
+      .cache()
+    val docLocal = docs.map { doc =>
+      val m = graft.audit.Audit.auditDocVsMarkdown(doc, MarkdownRender.render(doc))
+      (doc.url, m.spacedTableCells, m.totalTableCells, m.spacedTextItems,
+        m.multiSpaceTextItems, m.totalTextItems)
+    }.toDF("url", "d_spaced_cells", "d_total_cells", "d_spaced_text",
+      "d_multi_text", "d_total_text")
+    val viaAgg = docs.flatMap(d => d.items.map(it =>
+        (d.url, graft.audit.AuditAggregator.fromItem(it))))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.audit.AuditAggregator.agg.toColumn.name("c"))
+      .select($"key".as("url"),
+        $"c.spacedTableCells".as("a_spaced_cells"),
+        $"c.totalTableCells".as("a_total_cells"),
+        $"c.spacedTextItems".as("a_spaced_text"),
+        $"c.multiSpaceTextItems".as("a_multi_text"),
+        $"c.totalTextItems".as("a_total_text"))
+    val out = docLocal.join(viaAgg, Seq("url"))
+      .select($"url",
+        ($"d_spaced_cells" === $"a_spaced_cells" &&
+         $"d_total_cells" === $"a_total_cells" &&
+         $"d_spaced_text" === $"a_spaced_text" &&
+         $"d_multi_text" === $"a_multi_text" &&
+         $"d_total_text" === $"a_total_text").as("agg_matches_doc"))
+      .orderBy($"url")
+    val result = out.localCheckpoint()
+    docs.unpersist()
+    result
+  }
+
   def lineageResume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pages = srcDocs(s, dir).as[(Long, String, String)]
