@@ -126,22 +126,24 @@ object Bench {
       "q23_cosine_lsh_topk", "q27_cosine_ivf_topk", "q49_ivf_trained",
       "q50_paragraph_dedup", "q56_quality_filter", "q30_extract_documents", "q34_multimodal_features"))
       .filterNot(SparkEntry.baselineOnly)
-    // steady-state: warm codegen/JIT AT THE TARGET SF (an sf0.001 warm pass
-    // left the first timed query paying the big-file scan + codegen cost —
-    // BENCH_r02 showed q01 3x its steady-state on the first timed pass)
-    benchQueries.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
+    // steady-state: each query warms IMMEDIATELY before its timed runs and
+    // is timed best-of-2. Round 3's single upfront warm loop was not enough:
+    // by the time q01 was timed, the 19-query warm battery had churned the
+    // heap and page cache, and BENCH_r04 recorded q01/q02 at 5x their
+    // steady-state (1.98/1.53 vs 0.39/0.71). Warm-then-time per query keeps
+    // the measured pass adjacent to its own warm state; min-of-2 damps the
+    // host's +/-30-40% timing jitter the same way the headline does.
     val results = benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val (_, sec) = time {
+      def once(): Long =
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
         }
-      }
-      name -> sec
+      once() // warm (codegen/JIT/scan cache), untimed
+      val (_, s1) = time(once())
+      val (_, s2) = time(once())
+      name -> math.min(s1, s2)
     } :+ ("extract_synthetic" -> extractSec)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
