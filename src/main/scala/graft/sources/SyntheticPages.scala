@@ -81,10 +81,16 @@ object SyntheticPages {
   private def pick[T](rng: Random, a: Array[T]): T = a(rng.nextInt(a.length))
 
   /** Build the dirty item tree for doc i. */
-  def dirtyDoc(seed: Long, i: Long): Doc = {
+  def dirtyDoc(seed: Long, i: Long): Doc = dirtyDoc(seed, i, 1)
+
+  /** pageScale > 1 multiplies the page count — the skew-rehearsal's
+    * "pathological giant document" knob (a 100x doc through the SAME
+    * generator, not a synthetic blob). Default 1 keeps every oracle-pinned
+    * closed form unchanged. */
+  def dirtyDoc(seed: Long, i: Long, pageScale: Int): Doc = {
     val rng = new Random(seed ^ (i * 0x9E3779B97F4A7C15L))
     val u = url(i)
-    val nPages = 1 + rng.nextInt(4) // 1..4
+    val nPages = (1 + rng.nextInt(4)) * math.max(1, pageScale) // 1..4 (x scale)
     val repeatedHeading = nPages >= 3
     val items = scala.collection.mutable.ArrayBuffer.empty[DocItem]
     val pages = scala.collection.mutable.ArrayBuffer.empty[PageDim]
@@ -320,10 +326,38 @@ object SyntheticPages {
   case class GeneratedPage(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte],
                            text: String, lang: String)
 
-  def page(seed: Long, i: Long): GeneratedPage = {
-    val doc = dirtyDoc(seed, i)
+  def page(seed: Long, i: Long): GeneratedPage = page(seed, i, 1)
+
+  def page(seed: Long, i: Long, pageScale: Int): GeneratedPage = {
+    val doc = dirtyDoc(seed, i, pageScale)
     val html = htmlFor(doc, seed, i)
     GeneratedPage(doc.url, new java.sql.Timestamp(BaseEpochMs + i * 60000L),
       html.getBytes(java.nio.charset.StandardCharsets.UTF_8), rawText(doc), "ro")
+  }
+
+  /** Skew-rehearsal corpus row: a pathological mix over the same generator.
+    *  - i % 10000 == 0: GIANT doc (pageScale x normal — AQE cannot split a
+    *    row, so these become the extract stage's stragglers)
+    *  - i % 10 in {1,2}: EXACT-TEMPLATE doc — content of template (i % 37),
+    *    own url (20% of the corpus collapses to 37 exact classes)
+    *  - i % 10 == 3: NEAR-DUP-TEMPLATE doc — template (i % 23) content plus
+    *    one per-doc mutated trailing paragraph (10% forms ~23 LSH cliques
+    *    that only the band-bucket cap keeps sub-quadratic)
+    *  - else: the normal unique dirty doc. */
+  def skewPage(seed: Long, i: Long, giantScale: Int = 100): GeneratedPage = {
+    if (i % 10000 == 0) page(seed, i, giantScale)
+    else if (i % 10 == 1 || i % 10 == 2) {
+      val t = page(seed, 7000000L + (i % 37))
+      t.copy(url = url(i), warc_ts = new java.sql.Timestamp(BaseEpochMs + i * 60000L))
+    } else if (i % 10 == 3) {
+      val t = page(seed, 8000000L + (i % 23))
+      val mutation = s" Nota aditionala $i pentru exemplarul ${i % 1000} al seriei."
+      t.copy(url = url(i),
+        warc_ts = new java.sql.Timestamp(BaseEpochMs + i * 60000L),
+        html = (new String(t.html, java.nio.charset.StandardCharsets.UTF_8)
+          .replace("</body>", s"<p>$mutation</p></body>"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        text = t.text + mutation)
+    } else page(seed, i)
   }
 }

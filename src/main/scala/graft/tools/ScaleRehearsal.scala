@@ -9,11 +9,18 @@ import java.util.concurrent.atomic.AtomicLong
   * dedup -> minhash-LSH near-dup components, recording wall time, shuffle
   * spill, peak execution memory, and component-propagation round count.
   *
-  * Usage: runMain graft.tools.ScaleRehearsal [docs]
+  * Round-5 addition (`skew` arg): a pathological corpus — 0.01% giant
+  * (100x) documents, 20% exact-template classes, 10% near-dup-template
+  * cliques (SyntheticPages.skewPage) — with per-stage straggler factors
+  * (max/median task duration) recorded, since a giant document is a row
+  * AQE cannot split.
+  *
+  * Usage: runMain graft.tools.ScaleRehearsal [docs] [skew]
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 1000000
+    val skew = args.length > 1 && args(1) == "skew"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "128")
       .config("spark.sql.adaptive.enabled", "true")
@@ -25,6 +32,7 @@ object ScaleRehearsal {
 
     val memSpill = new AtomicLong(0); val diskSpill = new AtomicLong(0)
     val peakExec = new AtomicLong(0)
+    val taskDurations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -32,6 +40,7 @@ object ScaleRehearsal {
           memSpill.addAndGet(m.memoryBytesSpilled)
           diskSpill.addAndGet(m.diskBytesSpilled)
           peakExec.accumulateAndGet(m.peakExecutionMemory, math.max)
+          taskDurations.add(m.executorRunTime)
         }
       }
     })
@@ -41,12 +50,20 @@ object ScaleRehearsal {
     }
     var peakHeap = 0L
     def stage[A](label: String)(f: => A): A = {
+      taskDurations.clear()
       val t0 = System.nanoTime()
       val r = f
       peakHeap = math.max(peakHeap, heapUsed())
+      // straggler factor: max/median task run time within this stage window
+      // (the giant-doc skew shows up here, not in spill)
+      val ds = taskDurations.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      val straggle =
+        if (ds.length < 2 || ds(ds.length / 2) == 0) 0.0
+        else ds.last.toDouble / ds(ds.length / 2)
       println(f"stage=$label%-24s sec=${(System.nanoTime() - t0) / 1e9}%8.1f " +
         f"spill_mem=${memSpill.get / (1 << 20)}%6d MiB spill_disk=${diskSpill.get / (1 << 20)}%6d MiB " +
-        f"peak_exec=${peakExec.get / (1 << 20)}%6d MiB heap=${heapUsed() / (1 << 20)}%6d MiB")
+        f"peak_exec=${peakExec.get / (1 << 20)}%6d MiB heap=${heapUsed() / (1 << 20)}%6d MiB " +
+        f"tasks=${ds.length}%5d straggle=${straggle}%6.1f")
       r
     }
 
@@ -55,9 +72,11 @@ object ScaleRehearsal {
     val outDir = s"$base/committed"
     val docsDir = s"$base/docs"
 
-    stage("gen-corpus") {
+    stage(if (skew) "gen-corpus(SKEW)" else "gen-corpus") {
       spark.createDataset(spark.sparkContext.parallelize(0L until n.toLong, 512)
-        .map(i => graft.sources.SyntheticPages.page(42L, i))).toDF()
+        .map(i =>
+          if (skew) graft.sources.SyntheticPages.skewPage(42L, i)
+          else graft.sources.SyntheticPages.page(42L, i))).toDF()
         .write.mode("overwrite").parquet(pagesDir)
     }
     val pages = spark.read.parquet(pagesDir)

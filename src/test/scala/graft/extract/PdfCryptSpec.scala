@@ -282,6 +282,68 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(textOf(sb.result().getBytes(ISO_8859_1)) == "SECRET")
   }
 
+  test("PDF 1.5 + encryption: AES content stream, encrypted ObjStm font, plaintext xref stream") {
+    // the modern producer shape: xref STREAM (never encrypted, carries
+    // /Encrypt + /ID in its trailer dict), font inside an ENCRYPTED ObjStm,
+    // AES-128 content. Exercises decryptor construction from the xref-stream
+    // dict and ObjStm decryption ordering.
+    val p = -3904
+    val o = computeO("owner", "", 16)
+    val fileKey = PdfCrypt.fileKeyR234(o, p, FileId, 128, r = 4, encryptMetadata = true)
+    val u = computeU(fileKey)
+    def enc(objNum: Int, plain: Array[Byte]): Array[Byte] = {
+      val iv = (objNum * 3 to objNum * 3 + 15).map(_.toByte).toArray
+      iv ++ aesEncrypt(PdfCrypt.objectKey(fileKey, objNum, 0, aes = true), iv, plain, pad = true)
+    }
+    val contentCipher = enc(4, Content.getBytes(ISO_8859_1))
+    val objStmHeader = "5 0 "
+    val objStmPlain = objStmHeader + "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val objStmCipher = enc(7, objStmPlain.getBytes(ISO_8859_1))
+
+    val sb = new StringBuilder("%PDF-1.6\n")
+    val off = scala.collection.mutable.HashMap.empty[Int, Int]
+    def obj(n: Int, body: String): Unit = {
+      off(n) = sb.length
+      sb ++= s"$n 0 obj\n$body\nendobj\n"
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 300 200 ] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    obj(4, s"<< /Length ${contentCipher.length} >>\nstream\n" +
+      new String(contentCipher, ISO_8859_1) + "\nendstream")
+    obj(7, s"<< /Type /ObjStm /N 1 /First ${objStmHeader.length} " +
+      s"/Length ${objStmCipher.length} >>\nstream\n" +
+      new String(objStmCipher, ISO_8859_1) + "\nendstream")
+    obj(8, s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+      s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+      s"/StmF /StdCF /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>")
+    // xref stream: W [1 4 2], objects 0..8 (6 = the xref stream itself)
+    val xrefPos = sb.length
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 24) & 0xFF).toByte, ((f2 >> 16) & 0xFF).toByte,
+      ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte,
+      ((f3 >> 8) & 0xFF).toByte, (f3 & 0xFF).toByte)
+    val rows = Array(
+      row(0, 0, 0xFFFF), row(1, off(1), 0), row(1, off(2), 0), row(1, off(3), 0),
+      row(1, off(4), 0), row(2, 7, 0), row(1, xrefPos, 0), row(1, off(7), 0),
+      row(1, off(8), 0))
+    val xrefData = {
+      val raw = rows.flatten
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val outB = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) outB.write(buf, 0, d.deflate(buf))
+      new String(outB.toByteArray, ISO_8859_1)
+    }
+    sb ++= s"6 0 obj\n<< /Type /XRef /Size 9 /W [ 1 4 2 ] /Root 1 0 R " +
+      s"/Encrypt 8 0 R /ID [ <${hex(FileId)}> <${hex(FileId)}> ] " +
+      s"/Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n$xrefData\nendstream\nendobj\n"
+    sb ++= s"startxref\n$xrefPos\n%%EOF\n"
+    assert(textOf(sb.result().getBytes(ISO_8859_1)) == "SECRET")
+  }
+
   // --------------------------------------------------------- robustness
   test("bit-flipped encrypted PDFs degrade, never throw") {
     val base = rc4Pdf("")
