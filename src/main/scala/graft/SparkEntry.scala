@@ -85,6 +85,7 @@ object SparkEntry {
     "q56_quality_filter" -> ((s, d) => Ops.q56QualityFilter(s, d)),
     "q57_streaming_parity" -> (ExtractOps.streamingParity(_, _)),
     "q58_audit_aggregator" -> (ExtractOps.auditAggregatorParity(_, _)),
+    "q59_encrypted_pipeline" -> (ExtractOps.encryptedPdfPipeline(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -854,5 +855,17 @@ object SparkEntry {
     "q58_audit_aggregator" ->
       """SELECT 'doc://' || doc_id AS url, TRUE AS agg_matches_doc
         |FROM documents ORDER BY url""".stripMargin,
+
+    // encrypted corpus (q55 geometry; doc_id % 3 selects RC4-128 / AES-128 /
+    // AES-256-R6): a failing handler zeroes coverage and breaks the forms
+    "q59_encrypted_pipeline" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INTEGER) AS nl FROM documents)
+        |SELECT 'doc://' || doc_id AS url,
+        | CASE doc_id % 3 WHEN 0 THEN 'rc4' WHEN 1 THEN 'aesv2' ELSE 'aesv3' END AS cipher,
+        | CAST(ceil(nl / 12.0) AS INTEGER) AS page_count,
+        | CAST(ceil(nl / 12.0) AS INTEGER) AS item_count,
+        | TRUE AS covered
+        |FROM s ORDER BY url""".stripMargin,
   )
 }

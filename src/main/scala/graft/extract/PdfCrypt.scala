@@ -179,6 +179,50 @@ object PdfCrypt {
     } catch { case _: Exception => Array.empty }
   }
 
+  // ---------------------------------------------------------- encrypt side
+  // The writer half of the same spec algorithms — used by the synthetic
+  // encrypted-PDF generator (q59) and the fixture builders, so a successful
+  // decode proves the full derivation chain rather than a matched constant.
+
+  def pad32(pwd: Array[Byte]): Array[Byte] = (pwd ++ Pad).take(32)
+
+  /** Algorithm 3: the /O entry from owner+user passwords (R3/R4). */
+  def computeOwnerEntry(ownerPwd: Array[Byte], userPwd: Array[Byte], n: Int): Array[Byte] = {
+    var h = md5(pad32(ownerPwd))
+    var k = 0
+    while (k < 50) { h = md5(h.take(n)); k += 1 }
+    val key = h.take(n)
+    var o = pad32(userPwd)
+    var i = 0
+    while (i <= 19) {
+      o = rc4(key.map(b => (b ^ i).toByte), o)
+      i += 1
+    }
+    o
+  }
+
+  /** Algorithm 5: the /U entry for R3/R4 from the file key (+16 pad bytes). */
+  def computeUserEntryR34(fileKey: Array[Byte], idFirst: Array[Byte]): Array[Byte] = {
+    var x = md5(Pad, idFirst)
+    var i = 0
+    while (i <= 19) {
+      x = rc4(fileKey.map(b => (b ^ i).toByte), x)
+      i += 1
+    }
+    x ++ new Array[Byte](16)
+  }
+
+  /** AES-CBC encrypt; pad=true appends PKCS#5 (content), false requires a
+    * 16-multiple (the /UE wrap). */
+  def aesCbcEncrypt(key: Array[Byte], iv: Array[Byte], plain: Array[Byte],
+                    pad: Boolean): Array[Byte] = {
+    val cipher = Cipher.getInstance(
+      if (pad) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new IvParameterSpec(iv))
+    cipher.doFinal(plain)
+  }
+
   // ------------------------------------------------------------ decryptors
   sealed trait Decryptor {
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte]

@@ -403,6 +403,103 @@ object SyntheticPdf {
     sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
+  /** Encrypted classic-structure PDF (q59): the SAME page content as
+    * [[pdfFor]] but with every content stream encrypted by the standard
+    * security handler — empty user password, owner password "owner".
+    * `cipher` selects the handler generation a real corpus mixes:
+    * "rc4" = V2/R3 RC4-128, "aesv2" = V4/R4 AES-128, "aesv3" = V5/R6
+    * AES-256 (Algorithm 2.B). `seed` derives the /ID and IVs
+    * deterministically so the oracle's closed forms are stable. */
+  def pdfForEncrypted(pages: Seq[Seq[String]], cipher: String, seed: Long): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val fileId: Array[Byte] =
+      (0 until 16).map(k => ((seed >> (k % 8 * 8)) ^ (k * 37)).toByte).toArray
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString
+    def ivFor(objNum: Int): Array[Byte] =
+      (0 until 16).map(k => ((seed * 31 + objNum * 7 + k) & 0xFF).toByte).toArray
+
+    // handler setup + per-object stream encryptor
+    val p = -3904
+    val ownerPwd = "owner".getBytes(ISO_8859_1)
+    val (encDict, encryptStream): (String, (Int, Array[Byte]) => Array[Byte]) =
+      cipher match {
+        case "rc4" =>
+          val o = PdfCrypt.computeOwnerEntry(ownerPwd, Array.empty, 16)
+          val fileKey = PdfCrypt.fileKeyR234(o, p, fileId, 128, r = 3,
+            encryptMetadata = true)
+          val u = PdfCrypt.computeUserEntryR34(fileKey, fileId)
+          (s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+            s"/O <${hex(o)}> /U <${hex(u)}> >>",
+            (num: Int, plain: Array[Byte]) =>
+              PdfCrypt.rc4(PdfCrypt.objectKey(fileKey, num, 0, aes = false), plain))
+        case "aesv2" =>
+          val o = PdfCrypt.computeOwnerEntry(ownerPwd, Array.empty, 16)
+          val fileKey = PdfCrypt.fileKeyR234(o, p, fileId, 128, r = 4,
+            encryptMetadata = true)
+          val u = PdfCrypt.computeUserEntryR34(fileKey, fileId)
+          (s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $p " +
+            s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF " +
+            s"/StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>",
+            (num: Int, plain: Array[Byte]) => {
+              val iv = ivFor(num)
+              iv ++ PdfCrypt.aesCbcEncrypt(
+                PdfCrypt.objectKey(fileKey, num, 0, aes = true), iv, plain, pad = true)
+            })
+        case _ => // aesv3
+          val fileKey = (0 until 32).map(k => ((seed * 13 + k * 41) & 0xFF).toByte).toArray
+          val vSalt = (0 until 8).map(k => ((seed + k) & 0xFF).toByte).toArray
+          val kSalt = (0 until 8).map(k => ((seed * 7 + k) & 0xFF).toByte).toArray
+          val u = PdfCrypt.hash2B(Array.empty, vSalt, Array.empty, r = 6) ++ vSalt ++ kSalt
+          val ue = PdfCrypt.aesCbcEncrypt(
+            PdfCrypt.hash2B(Array.empty, kSalt, Array.empty, r = 6),
+            new Array[Byte](16), fileKey, pad = false)
+          (s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $p " +
+            s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF " +
+            s"/StrF /StdCF /O <${hex(new Array[Byte](48))}> /U <${hex(u)}> " +
+            s"/OE <${hex(new Array[Byte](32))}> /UE <${hex(ue)}> >>",
+            (num: Int, plain: Array[Byte]) => {
+              val iv = ivFor(num)
+              iv ++ PdfCrypt.aesCbcEncrypt(fileKey, iv, plain, pad = true)
+            })
+      }
+
+    val objs = mutable.ArrayBuffer.empty[String]
+    objs += "<< /Type /Catalog /Pages 2 0 R >>" // 1
+    objs += s"<< /Type /Pages /Kids [${pages.indices.map(i => s"${4 + i * 2} 0 R").mkString(" ")}] /Count ${pages.length} >>" // 2
+    objs += "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>" // 3
+    for ((lines, pi) <- pages.zipWithIndex) {
+      val content = new StringBuilder
+      content ++= "BT /F1 12 Tf 72 720 Td 14 TL\n"
+      for ((line, li) <- lines.zipWithIndex) {
+        if (li > 0) content ++= "T*\n"
+        val escaped = line.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        content ++= s"($escaped) Tj\n"
+      }
+      content ++= "ET\n"
+      val streamObjNum = 5 + pi * 2
+      val enc = encryptStream(streamObjNum, content.result().getBytes(ISO_8859_1))
+      objs += s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $streamObjNum 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> >> >>"
+      objs += s"<< /Length ${enc.length} >>\nstream\n" +
+        new String(enc, ISO_8859_1) + "\nendstream"
+    }
+    objs += encDict // last object
+    val sb = new StringBuilder
+    sb ++= "%PDF-1.6\n"
+    val offsets = mutable.ArrayBuffer.empty[Int]
+    for ((obj, idx) <- objs.zipWithIndex) {
+      offsets += sb.length
+      sb ++= s"${idx + 1} 0 obj\n$obj\nendobj\n"
+    }
+    val xrefPos = sb.length
+    sb ++= s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n"
+    for (off <- offsets) sb ++= f"$off%010d 00000 n \n"
+    sb ++= s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R " +
+      s"/Encrypt ${objs.length} 0 R /ID [ <${hex(fileId)}> <${hex(fileId)}> ] >>" +
+      s"\nstartxref\n$xrefPos\n%%EOF\n"
+    sb.result().getBytes(ISO_8859_1)
+  }
+
   /** One laid-out line: text, font size, vertical gap from previous line.
     * When `cells` is non-empty the line is a table row: (columnX, text)
     * pairs positioned with relative Td moves. */

@@ -686,6 +686,40 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** q59: the ENCRYPTED real-world corpus shape under the oracle — the same
+    * page geometry as q55 but every content stream encrypted by the
+    * standard security handler, with doc_id selecting the generation a real
+    * corpus mixes (RC4-128 / AES-128 / AES-256 R6). A decode failure in any
+    * handler path zeroes that doc's coverage and breaks the closed forms. */
+  def encryptedPdfPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val words = text.split(" ")
+        val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+        val pdfPages = lines.grouped(12).map(_.toSeq).toSeq
+        val cipher = (id % 3) match {
+          case 0 => "rc4"
+          case 1 => "aesv2"
+          case _ => "aesv3"
+        }
+        (s"doc://$id", graft.extract.SyntheticPdf.pdfForEncrypted(pdfPages, cipher, id),
+          text, lang, cipher)
+      }
+      .toDF("url", "html", "text", "lang", "cipher")
+      .cache()
+    val coveredU = coveredUdf
+    val out = Pipeline.extract(s, pages.select($"url", $"html", $"text", $"lang"),
+        numBuckets = 16).toDF()
+      .join(pages.select($"url", $"text".as("src_text"), $"cipher"), "url")
+      .select($"url", $"cipher", $"page_count", $"item_count",
+        coveredU($"markdown", $"src_text").as("covered"))
+      .orderBy($"url")
+    val result = out.localCheckpoint()
+    pages.unpersist()
+    result
+  }
+
   /** q53: kill-and-resume lineage invariant as a driver query. Run 1 extracts
     * and commits buckets 0..3, then a second run "dies" after writing bucket
     * 4's data files but BEFORE its manifest commit (the crash-orphan state).
