@@ -86,6 +86,7 @@ object SparkEntry {
     "q57_streaming_parity" -> (ExtractOps.streamingParity(_, _)),
     "q58_audit_aggregator" -> (ExtractOps.auditAggregatorParity(_, _)),
     "q59_encrypted_pipeline" -> (ExtractOps.encryptedPdfPipeline(_, _)),
+    "q60_boilerpipe_classifier" -> (ExtractOps.boilerpipePipeline(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -867,5 +868,13 @@ object SparkEntry {
         | CAST(ceil(nl / 12.0) AS INTEGER) AS item_count,
         | TRUE AS covered
         |FROM s ORDER BY url""".stripMargin,
+
+    // Boilerpipe NumWordsRulesClassifier: kept = fixed lead + ceil(w/20)
+    // paragraphs; both link lists and the neighbor-stranded teaser dropped
+    "q60_boilerpipe_classifier" ->
+      """SELECT 'doc://' || doc_id AS url,
+        | CAST(1 + ceil(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) / 20.0) AS BIGINT) AS kept_blocks,
+        | TRUE AS link_lists_dropped, TRUE AS teaser_dropped, TRUE AS lead_kept
+        |FROM documents ORDER BY url""".stripMargin,
   )
 }

@@ -31,7 +31,8 @@ object HtmlExtract {
     * configs (standard/aggressive/ocr) differ ONLY in how they threshold
     * these, so one parse serves every config via [[applyConfig]] — the
     * conversion flow's probe and OCR retry cost zero extra parses. */
-  final case class BlockMeta(linkDensity: Double, chars: Int, structural: Boolean)
+  final case class BlockMeta(linkDensity: Double, chars: Int, structural: Boolean,
+                             words: Int = 0)
 
   /** One parse, config-independent: items carry their pre-boiler label and
     * Body layer; `meta(i)` is null for non-text items (tables, pictures). */
@@ -60,6 +61,52 @@ object HtmlExtract {
       i += 1
     }
     parsed.doc.copy(items = items)
+  }
+
+  /** The published Boilerpipe NumWordsRulesClassifier (Kohlschütter et al.,
+    * WSDM 2011 — "Boilerplate Detection using Shallow Text Features",
+    * decision tree trained on word count + link density of the previous/
+    * current/next block). This is the neighbor-aware alternative to
+    * [[applyConfig]]'s per-block thresholds: a short block is rescued by a
+    * long neighbor (caption under an article paragraph) and a teaser
+    * stranded between link lists is dropped even though it has no links
+    * itself. Heading-labeled blocks are exempt (classified structurally) —
+    * a deliberate deviation: our downstream keeps section structure that
+    * the original flat text extractor discarded. */
+  def applyBoilerpipe(parsed: Parsed): Doc = {
+    val metas = parsed.meta
+    val items = parsed.doc.items
+    // the classifier runs over the sequence of TEXT blocks (meta != null),
+    // mirroring Boilerpipe's TextDocument block list
+    val textIdx = items.indices.filter(i => metas(i) != null).toArray
+    def wordsAt(k: Int): Int =
+      if (k < 0 || k >= textIdx.length) 0 else metas(textIdx(k)).words
+    def ldAt(k: Int): Double =
+      if (k < 0 || k >= textIdx.length) 0.0 else metas(textIdx(k)).linkDensity
+    val out = items.clone()
+    for (k <- textIdx.indices) {
+      val i = textIdx(k)
+      val item = items(i)
+      val m = metas(i)
+      val isContent =
+        if (m.structural) false
+        else if (Label.HeadingLabels.contains(item.label)) true // exempt
+        else if (ldAt(k) > 0.333333) false
+        else if (ldAt(k - 1) <= 0.555556) {
+          if (wordsAt(k) <= 16) {
+            if (wordsAt(k + 1) <= 15) wordsAt(k - 1) > 4
+            else true
+          } else true
+        } else {
+          if (wordsAt(k) <= 40) wordsAt(k + 1) > 17
+          else true
+        }
+      if (!isContent)
+        out(i) = item.copy(
+          label = if (item.label == Label.Text) Label.PageHeader else item.label,
+          contentLayer = ContentLayer.Furniture)
+    }
+    parsed.doc.copy(items = out)
   }
 
   private val BlockTags: Set[String] = Set(
@@ -249,7 +296,8 @@ object HtmlExtract {
           // item keeps its pre-boiler label and Body layer
           items += DocItem(nextIdx(), ItemKind.Text, block.label, ContentLayer.Body,
             pageNo, block.bbox, raw, None)
-          metas += BlockMeta(linkDensity, chars, structural = block.furniture)
+          metas += BlockMeta(linkDensity, chars, structural = block.furniture,
+            words = raw.split(" ").count(_.nonEmpty))
         }
       }
       block = null

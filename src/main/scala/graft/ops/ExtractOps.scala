@@ -720,6 +720,47 @@ object ExtractOps {
     result
   }
 
+  /** q60: the Boilerpipe NumWordsRulesClassifier end-to-end. Each doc's html
+    * carries the canonical boilerplate trap sequence — two link lists with a
+    * 4-word teaser stranded between them (no links of its own: only the
+    * NEIGHBOR-aware tree drops it), then a fixed 20-word lead plus the doc's
+    * words in 20-word paragraphs. Closed forms: kept text blocks =
+    * 1 + ceil(words/20); all three trap blocks land in furniture. */
+  def boilerpipePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 45 words: > 40 puts the lead in the tree's unconditional-content leaf
+    // even when the doc's own first paragraph is short (prev = link list)
+    val lead = "Acest paragraf introductiv stabil prezinta pe larg continutul " +
+      "principal al documentului analizat si serveste drept ancora de " +
+      "clasificare pentru algoritmul de detectie boilerplate fiind pastrat " +
+      "intotdeauna de arborele de decizie deoarece numarul sau de cuvinte " +
+      "depaseste pragul superior de patruzeci stabilit in lucrarea " +
+      "originala publicata"
+    srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        val paras = words.grouped(20).map(_.mkString(" ")).toSeq
+        val links = (1 to 10).map(k => s"""<a href="/$k">Sectiune$k</a>""").mkString(" ")
+        val sb = new StringBuilder("<html><body>")
+        sb ++= s"<div>$links</div>"
+        sb ++= "<div>Citeste mai multe aici</div>" // the 4-word teaser
+        sb ++= s"<div>$links</div>"
+        sb ++= s"<div>$lead</div>"
+        paras.foreach(p => sb ++= s"<div>$p</div>")
+        sb ++= "</body></html>"
+        val doc = HtmlExtract.applyBoilerpipe(
+          HtmlExtract.parseDetailed(s"doc://$id", sb.result()))
+        val body = doc.items.filter(_.contentLayer == graft.model.ContentLayer.Body)
+        val furn = doc.items.filter(_.contentLayer == graft.model.ContentLayer.Furniture)
+        (s"doc://$id", body.length.toLong,
+          furn.count(_.text.startsWith("Sectiune1")) == 2,
+          furn.exists(_.text == "Citeste mai multe aici"),
+          body.exists(_.text == lead))
+      }
+      .toDF("url", "kept_blocks", "link_lists_dropped", "teaser_dropped", "lead_kept")
+      .orderBy($"url")
+  }
+
   /** q53: kill-and-resume lineage invariant as a driver query. Run 1 extracts
     * and commits buckets 0..3, then a second run "dies" after writing bucket
     * 4's data files but BEFORE its manifest commit (the crash-orphan state).

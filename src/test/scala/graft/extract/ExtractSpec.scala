@@ -229,3 +229,57 @@ class AuditAggregatorSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** The published NumWordsRulesClassifier decision tree, branch by branch —
+  * the q60 pipeline exercises the outer leaves; these fixtures pin the
+  * neighbor-dependent inner ones. */
+class BoilerpipeClassifierSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.model.{ContentLayer, Label}
+
+  private def classify(blocks: Seq[String]): Seq[Boolean] = {
+    val html = "<html><body>" + blocks.map(b => s"<div>$b</div>").mkString + "</body></html>"
+    val doc = HtmlExtract.applyBoilerpipe(HtmlExtract.parseDetailed("doc://t", html))
+    doc.items.toSeq.map(_.contentLayer == ContentLayer.Body)
+  }
+  private def words(n: Int): String = (1 to n).map(k => s"cuvant$k").mkString(" ")
+  private def links(n: Int): String =
+    (1 to n).map(k => s"""<a href="/$k">Leg$k</a>""").mkString(" ")
+
+  test("high own link density is always boilerplate") {
+    assert(classify(Seq(words(50), links(10), words(50))) == Seq(true, false, true))
+  }
+
+  test("short block rescued by a long NEXT neighbor (caption-above shape)") {
+    // curr <= 16 words, next > 15 words -> content
+    assert(classify(Seq(words(8), words(30)))(0))
+  }
+
+  test("short block with short neighbors: prev <= 4 words drops it") {
+    // prev 3 words, curr 10, next 5 -> boilerplate; with prev 20 -> content
+    assert(!classify(Seq(words(3), words(10), words(5)))(1))
+    assert(classify(Seq(words(20), words(10), words(5)))(1))
+  }
+
+  test("teaser after a link list: dropped unless next is long") {
+    // prev linkDensity > 0.555: curr 10 <= 40 -> next decides (17 boundary)
+    assert(!classify(Seq(links(10), words(10), words(17)))(1))
+    assert(classify(Seq(links(10), words(10), words(18)))(1))
+  }
+
+  test("a > 40-word block after a link list is unconditionally content") {
+    assert(classify(Seq(links(10), words(41)))(1))
+  }
+
+  test("headings are exempt from the word-count tree") {
+    val html = "<html><body><h2>Titlu scurt</h2><div>" + words(30) + "</div></body></html>"
+    val doc = HtmlExtract.applyBoilerpipe(HtmlExtract.parseDetailed("doc://t", html))
+    val h = doc.items.find(_.label == Label.SectionHeader).get
+    assert(h.contentLayer == ContentLayer.Body)
+  }
+
+  test("structural furniture (nav) stays furniture regardless of words") {
+    val html = "<html><body><nav>" + words(50) + "</nav><div>" + words(30) + "</div></body></html>"
+    val doc = HtmlExtract.applyBoilerpipe(HtmlExtract.parseDetailed("doc://t", html))
+    assert(doc.items.count(_.contentLayer == ContentLayer.Body) == 1)
+  }
+}
