@@ -87,6 +87,7 @@ object SparkEntry {
     "q58_audit_aggregator" -> (ExtractOps.auditAggregatorParity(_, _)),
     "q59_encrypted_pipeline" -> (ExtractOps.encryptedPdfPipeline(_, _)),
     "q60_boilerpipe_classifier" -> (ExtractOps.boilerpipePipeline(_, _)),
+    "q61_url_canonical_dedup" -> ((s, d) => Ops.q61UrlCanonicalDedup(s, d)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -876,5 +877,14 @@ object SparkEntry {
         | CAST(1 + ceil(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) / 20.0) AS BIGINT) AS kept_blocks,
         | TRUE AS link_lists_dropped, TRUE AS teaser_dropped, TRUE AS lead_kept
         |FROM documents ORDER BY url""".stripMargin,
+
+    // canonical-url dedup: five cosmetic variants per page (case, fragment,
+    // default port, tracking params + order, trailing slash) must collapse
+    // to the closed-form canonical; group stats by underlying page id
+    "q61_url_canonical_dedup" ->
+      """SELECT 'https://example-' || (doc_id // 5) || '.ro/articol/' || (doc_id // 5)
+        |   || '?a=1&b=2' AS canonical_url,
+        | CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM documents GROUP BY doc_id // 5 ORDER BY canonical_url""".stripMargin,
   )
 }

@@ -650,6 +650,35 @@ object Ops {
     * (mean word length = (chars - (n-1)) / n over single-space text, like
     * q10) so the DuckDB oracle reproduces the doubles bit-exactly. Entirely
     * map-side: the filter costs one projection at any corpus size. */
+  /** q61: canonical-url dedup. Each doc gets a messy URL variant (case,
+    * fragment, default port, tracking params + param order, trailing slash
+    * — doc_id % 5 selects the variant, doc_id / 5 the underlying page);
+    * the REAL canonicalizer (graft.functions.UrlCanonical, all codegen'd
+    * built-ins) must collapse every variant group to one canonical form.
+    * Entirely map-side until the final count-by-canonical groupBy. */
+  def q61UrlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("https://example-"), $"g", lit(".ro/articol/"), $"g")
+    val messy = documents(s, dir)
+      .select($"doc_id", ($"doc_id" / 5).cast("long").as("g"))
+      .select($"doc_id",
+        when($"doc_id" % 5 === 0, concat(base, lit("?a=1&b=2")))
+          .when($"doc_id" % 5 === 1, // scheme/host case + fragment
+            concat(lit("HTTPS://EXAMPLE-"), $"g", lit(".RO/articol/"), $"g",
+              lit("?a=1&b=2#top")))
+          .when($"doc_id" % 5 === 2,
+            concat(lit("https://example-"), $"g", lit(".ro:443/articol/"), $"g",
+              lit("?a=1&b=2")))
+          .when($"doc_id" % 5 === 3, concat(base, lit("?b=2&a=1&utm_source=rss")))
+          .otherwise(concat(base, lit("/?a=1&b=2")))
+          .as("url"))
+    messy
+      .select($"doc_id",
+        graft.functions.UrlCanonical.canonicalizeUrl($"url").as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+      .orderBy($"canonical_url")
+  }
+
   def q56QualityFilter(s: SparkSession, dir: String,
                        minTokens: Int = 30, maxTokens: Int = 5000,
                        minWordLen: Double = 3.0, maxWordLen: Double = 10.0,

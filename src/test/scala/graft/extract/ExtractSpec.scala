@@ -283,3 +283,39 @@ class BoilerpipeClassifierSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(doc.items.count(_.contentLayer == ContentLayer.Body) == 1)
   }
 }
+
+class UrlCanonicalSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u")
+      .select(graft.functions.UrlCanonical.canonicalizeUrl($"u"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("case, fragment, default port, tracking params, trailing slash") {
+    val want = "https://www.site.ro/a/b?a=1&b=2"
+    assert(canon(
+      "https://www.site.ro/a/b?a=1&b=2",
+      "HTTPS://WWW.SITE.RO/a/b?a=1&b=2#frag",
+      "https://www.site.ro:443/a/b?a=1&b=2",
+      "https://www.site.ro/a/b?b=2&utm_source=x&a=1&fbclid=y&gclid=z",
+      "https://www.site.ro/a/b/?a=1&b=2").forall(_ == want))
+  }
+
+  test("scheme-matched port stripping only") {
+    assert(canon("http://h.ro:80/x") == Seq("http://h.ro/x"))
+    assert(canon("http://h.ro:443/x") == Seq("http://h.ro:443/x")) // not http's default
+    assert(canon("https://h.ro:8443/x") == Seq("https://h.ro:8443/x"))
+  }
+
+  test("empty path becomes root; root slash is kept; query-only utm drops ?") {
+    assert(canon("https://h.ro") == Seq("https://h.ro/"))
+    assert(canon("https://h.ro/") == Seq("https://h.ro/"))
+    assert(canon("https://h.ro/p?utm_campaign=x") == Seq("https://h.ro/p"))
+  }
+
+  test("path case is preserved (only scheme/host fold)") {
+    assert(canon("HTTP://H.RO/CaseSensitive/Path") == Seq("http://h.ro/CaseSensitive/Path"))
+  }
+}
