@@ -194,7 +194,13 @@ object Ops {
     * ContextCleaner once the result is unreferenced — cached plans are NOT),
     * then release the shared intermediates so repeated invocations within a
     * long-lived session don't accumulate executor storage. */
+  /** Plan-audit hook (DumpPlans only): skip the localCheckpoint so the full
+    * physical plan stays visible instead of a Scan ExistingRDD stub. Caches
+    * are intentionally NOT released in audit mode. */
+  private[graft] var keepPlansForAudit: Boolean = false
+
   private def materializeAndRelease(out: DataFrame, caches: DataFrame*): DataFrame = {
+    if (keepPlansForAudit) return out
     val result = out.localCheckpoint()
     caches.foreach(_.unpersist())
     result
