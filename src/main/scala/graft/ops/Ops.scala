@@ -656,6 +656,45 @@ object Ops {
     * (mean word length = (chars - (n-1)) / n over single-space text, like
     * q10) so the DuckDB oracle reproduces the doubles bit-exactly. Entirely
     * map-side: the filter costs one projection at any corpus size. */
+  /** The production dedup chain as ONE operator — the ordering the 1M-doc
+    * rehearsals validated (BASELINE.md): EXACT dedup first (template
+    * classes collapse by orders of magnitude before any pair join), then
+    * capped minhash-LSH over the representatives only, then pointer-doubling
+    * connected components, then min-id representative per component, with
+    * members inheriting their exact-class representative's assignment.
+    *
+    * Input: any (doc_id: long, text: string) relation.
+    * Output: (doc_id, canonical_id) — total (every input doc appears once)
+    * and idempotent (canonical ids map to themselves).
+    *
+    * 100 TB shape: one groupBy for exact classes, the capped LSH bucket
+    * join over the collapsed relation, O(log n) component rounds, one
+    * broadcast-friendly join back. No pair join ever sees the raw corpus. */
+  def dedupChain(docs: DataFrame, maxBucketSize: Int = 512): DataFrame = {
+    val exact = docs
+      .groupBy(polyhash($"text").as("th"))
+      .agg(min($"doc_id").as("rep_id"))
+    val docToRep = docs
+      .select($"doc_id", polyhash($"text").as("th"))
+      .join(exact, "th")
+      .select($"doc_id", $"rep_id")
+      .cache()
+    val reps = docs.join(docToRep.filter($"doc_id" === $"rep_id")
+        .select($"doc_id"), "doc_id")
+      .select($"doc_id", $"text")
+    val pairs = minhashLshPairsOf(reps, maxBucketSize)
+    val (labels, _) = connectedComponents(reps.select($"doc_id"), pairs.toDF("src", "dst"))
+    // component label -> min member id = the canonical doc
+    val canon = labels
+      .groupBy($"component")
+      .agg(min($"doc_id").as("canonical_id"))
+    val repToCanon = labels.join(canon, "component")
+      .select($"doc_id".as("rep_id"), $"canonical_id")
+    val out = docToRep.join(repToCanon, "rep_id")
+      .select($"doc_id", $"canonical_id")
+    materializeAndRelease(out, docToRep)
+  }
+
   /** q61: canonical-url dedup. Each doc gets a messy URL variant (case,
     * fragment, default port, tracking params + param order, trailing slash
     * — doc_id % 5 selects the variant, doc_id / 5 the underlying page);

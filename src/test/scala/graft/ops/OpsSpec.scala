@@ -211,3 +211,53 @@ class ShortDocSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Ops.q15NgramJaccardPairs(spark, dir).collect().forall(r => r.getLong(0) >= 3))
   }
 }
+
+/** The composed production dedup chain (exact-first -> capped LSH ->
+  * components -> min-id representative) as one operator. */
+class DedupChainSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.extract.SparkTestSession.spark
+
+  test("exact copies, near-dup cluster, and uniques resolve correctly; total + idempotent") {
+    import spark.implicits._
+    val exactPara = (1 to 40).map(k => s"cuvant$k").mkString(" ")
+    val nearPara = (1 to 40).map(k => s"vecin$k apropiat$k").mkString(" ")
+    val docs = Seq(
+      // exact-duplicate class {0, 1, 2} -> canonical 0
+      (0L, exactPara), (1L, exactPara), (2L, exactPara),
+      // near-dup pair {10, 11}: same long text, one word changed at the end
+      // (vocabulary DISJOINT from the exact class -- LSH must not bridge)
+      (10L, nearPara + " final original unu doi trei patru cinci sase sapte opt"),
+      (11L, nearPara + " final modificat unu doi trei patru cinci sase sapte opt"),
+      // unique doc
+      (20L, (100 to 160).map(k => s"altceva$k total diferit$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Ops.dedupChain(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total: every doc assigned exactly once
+    assert(out.keySet == Set(0L, 1L, 2L, 10L, 11L, 20L))
+    // exact class collapses to min id
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L)
+    // near-dup pair shares one canonical (min id of the component)
+    assert(out(10L) == out(11L) && out(10L) == 10L)
+    // unique doc is its own canonical; the exact class did not leak into it
+    assert(out(20L) == 20L)
+    // idempotent: canonical ids map to themselves
+    for ((_, c) <- out) assert(out(c) == c)
+  }
+
+  test("bucket cap drops saturated template classes without losing totality") {
+    import spark.implicits._
+    // 30 docs of ONE template with tiny mutations (saturates every band
+    // bucket at cap 8) + 2 unrelated docs
+    val tpl = (1 to 60).map(k => s"formular$k").mkString(" ")
+    val docs = ((0 until 30).map(i => (i.toLong, tpl + s" exemplar$i")) ++
+      Seq((100L, (1 to 50).map(k => s"unic$k").mkString(" ")),
+          (101L, (1 to 50).map(k => s"alt$k complet$k").mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Ops.dedupChain(docs, maxBucketSize = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 32)            // total despite dropped buckets
+    assert(out(100L) == 100L && out(101L) == 101L)
+    for ((_, c) <- out) assert(out(c) == c)
+  }
+}
