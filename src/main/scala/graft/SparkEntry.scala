@@ -88,6 +88,7 @@ object SparkEntry {
     "q59_encrypted_pipeline" -> (ExtractOps.encryptedPdfPipeline(_, _)),
     "q60_boilerpipe_classifier" -> (ExtractOps.boilerpipePipeline(_, _)),
     "q61_url_canonical_dedup" -> ((s, d) => Ops.q61UrlCanonicalDedup(s, d)),
+    "q62_warc_ingest" -> (ExtractOps.warcIngest(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -886,5 +887,12 @@ object SparkEntry {
         |   || '?a=1&b=2' AS canonical_url,
         | CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
         |FROM documents GROUP BY doc_id // 5 ORDER BY canonical_url""".stripMargin,
+
+    // WARC container round trip (plain + per-file gzip segments, full HTTP
+    // payloads): byte-exact html, exact WARC-Date, successful extraction
+    "q62_warc_ingest" ->
+      """SELECT 'https://crawl.example/doc/' || doc_id AS url,
+        | TRUE AS html_roundtrip, TRUE AS ts_roundtrip, TRUE AS extracted_ok
+        |FROM documents ORDER BY url""".stripMargin,
   )
 }

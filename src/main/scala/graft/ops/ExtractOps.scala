@@ -761,6 +761,60 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** q62: WARC ingestion round trip — the Common-Crawl container format as
+    * a first-class source. The corpus is serialized into per-partition WARC
+    * segments (alternating plain / per-file gzip, full HTTP response
+    * payloads), read back via WarcSource.readWarc (binaryFile scan +
+    * per-partition record parse), and extracted. Closed forms: per-url byte
+    * round trip of the html payload, exact WARC-Date round trip, and a
+    * successful extraction. */
+  def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-q62").toString
+    val expected = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        (s"https://crawl.example/doc/$id",
+          new java.sql.Timestamp(1700000000000L + id * 60000L),
+          htmlFromText(id, text, lang).getBytes("UTF-8"))
+      }
+      .toDF("url", "warc_ts", "html")
+      .cache()
+    // sink: one WARC segment per partition (the crawl-segment layout);
+    // even partitions gzip, odd stay plain — both read paths exercised
+    expected.repartition(4)
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val recs = it.toSeq
+        if (recs.nonEmpty) {
+          val gz = pid % 2 == 0
+          val bytes = graft.sources.WarcSource.writeWarc(recs, gz)
+          val ext = if (gz) "warc.gz" else "warc"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base/seg-$pid.$ext"), bytes)
+        }
+        Iterator.single(recs.size)
+      }.collect() // 4 partition counts, bounded by partition count
+    val read = graft.sources.WarcSource.readWarc(s, s"$base/*").cache()
+    val extracted = Pipeline.extract(s,
+      read.select($"url", $"html", lit("ro").as("lang")),
+      numBuckets = 8).toDF().select($"url", $"page_count")
+    val out = expected
+      .select($"url", $"warc_ts".as("ts0"), xxhash64($"html").as("h0"))
+      .join(read.select($"url", $"warc_ts", xxhash64($"html").as("h1")),
+        Seq("url"), "left")
+      .join(extracted, Seq("url"), "left")
+      .select($"url",
+        ($"h0" <=> $"h1").as("html_roundtrip"),
+        ($"ts0" <=> $"warc_ts").as("ts_roundtrip"),
+        (coalesce($"page_count", lit(0)) > 0).as("extracted_ok"))
+      .orderBy($"url")
+    val result = out.localCheckpoint()
+    expected.unpersist()
+    read.unpersist()
+    result
+  }
+
   /** q53: kill-and-resume lineage invariant as a driver query. Run 1 extracts
     * and commits buckets 0..3, then a second run "dies" after writing bucket
     * 4's data files but BEFORE its manifest commit (the crash-orphan state).

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.WarcSource
+
+/** WARC (ISO 28500) source: record framing, HTTP payload split, gzip
+  * members, hostile truncation. */
+class WarcSourceSpec extends AnyFunSuite {
+  private def rec(url: String, html: String, tsMs: Long = 1700000000000L) =
+    (url, new java.sql.Timestamp(tsMs), html.getBytes("UTF-8"))
+
+  test("plain round trip: framing, HTTP split, status/date/uri") {
+    val bytes = WarcSource.writeWarc(Seq(
+      rec("https://a.example/1", "<html><body>unu</body></html>"),
+      rec("https://a.example/2", "<html><body>doi</body></html>", 1700000060000L)),
+      gzip = false)
+    val rs = WarcSource.parseRecords(bytes)
+    assert(rs.length == 2)
+    assert(rs.map(_.targetUri) == Seq("https://a.example/1", "https://a.example/2"))
+    assert(rs.forall(_.warcType == "response"))
+    assert(rs.forall(_.httpStatus == 200))
+    assert(new String(rs.head.body, "UTF-8") == "<html><body>unu</body></html>")
+    assert(WarcSource.parseWarcDate(rs(1).date).getTime == 1700000060000L)
+  }
+
+  test("gzip round trip (concatenated-member-safe reader)") {
+    val bytes = WarcSource.writeWarc(Seq(rec("https://g.example/x", "<p>gz</p>")),
+      gzip = true)
+    assert((bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
+    val rs = WarcSource.parseRecords(bytes)
+    assert(rs.length == 1 && new String(rs.head.body, "UTF-8") == "<p>gz</p>")
+  }
+
+  test("a body containing 'WARC/1.0' does not inject a phantom record") {
+    val tricky = "<html>WARC/1.0\r\nWARC-Type: response\r\n\r\n</html>"
+    val bytes = WarcSource.writeWarc(Seq(rec("https://t.example/x", tricky)), gzip = false)
+    val rs = WarcSource.parseRecords(bytes)
+    assert(rs.length == 1 && new String(rs.head.body, "UTF-8") == tricky)
+  }
+
+  test("truncation degrades to the records parsed so far, never throws") {
+    val bytes = WarcSource.writeWarc(Seq(
+      rec("https://a.example/1", "<p>" + ("x" * 200) + "</p>"),
+      rec("https://a.example/2", "<p>two</p>")), gzip = false)
+    for (cut <- 0 to bytes.length by 7) {
+      val rs = WarcSource.parseRecords(bytes.take(cut))
+      assert(rs.length <= 2)
+    }
+    // corrupt gzip header: degrades (falls back to raw scan, finds nothing)
+    val junk = Array[Byte](0x1F.toByte, 0x8B.toByte, 9, 9, 9)
+    assert(WarcSource.parseRecords(junk).isEmpty)
+  }
+
+  test("non-response and non-200 records are filtered by the reader contract") {
+    // hand-build a warcinfo record + a 404 response
+    val warcinfo = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: application/warc-fields\r\nContent-Length: 10\r\n\r\nrobots: ok\r\n\r\n"
+    val notFound = {
+      val http = "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\nContent-Length: 4\r\n\r\ngone"
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/404\r\nWARC-Date: 2025-01-01T00:00:00Z\r\nContent-Type: application/http;msgtype=response\r\nContent-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    }
+    val rs = WarcSource.parseRecords((warcinfo + notFound).getBytes("ISO-8859-1"))
+    assert(rs.length == 2)
+    assert(rs.head.warcType == "warcinfo" && rs.head.httpStatus == 0)
+    assert(rs(1).httpStatus == 404) // readWarc's filter drops both
+  }
+}
