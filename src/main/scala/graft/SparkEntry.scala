@@ -89,6 +89,7 @@ object SparkEntry {
     "q60_boilerpipe_classifier" -> (ExtractOps.boilerpipePipeline(_, _)),
     "q61_url_canonical_dedup" -> ((s, d) => Ops.q61UrlCanonicalDedup(s, d)),
     "q62_warc_ingest" -> (ExtractOps.warcIngest(_, _)),
+    "q63_head_meta" -> (ExtractOps.headMetaPipeline(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -893,6 +894,17 @@ object SparkEntry {
     "q62_warc_ingest" ->
       """SELECT 'https://crawl.example/doc/' || doc_id AS url,
         | TRUE AS html_roundtrip, TRUE AS ts_roundtrip, TRUE AS extracted_ok
+        |FROM documents ORDER BY url""".stripMargin,
+
+    // head metadata: canonical link collapsed through UrlCanonical; robots
+    // noindex/nofollow on the doc_id % 7 class; declared lang matches; the
+    // post-<body> decoy canonical must be ignored
+    "q63_head_meta" ->
+      """SELECT 'doc://' || doc_id AS url,
+        | 'https://example-' || (doc_id // 5) || '.ro/articol/' || (doc_id // 5)
+        |   || '?a=1&b=2' AS canonical_url,
+        | doc_id % 7 = 0 AS noindex, doc_id % 7 = 0 AS nofollow,
+        | TRUE AS lang_match
         |FROM documents ORDER BY url""".stripMargin,
   )
 }

@@ -163,6 +163,64 @@ object HtmlExtract {
   }
 
   /** Minimal attribute parser: name="value" | name='value' | name=value | name. */
+  /** Head metadata a crawl pipeline acts on before (or instead of)
+    * extracting the body: the canonical link target (feeds
+    * [[graft.functions.UrlCanonical]] dedup), robots directives
+    * (noindex pages are dropped from training corpora), and the declared
+    * document language. One bounded scan that stops at `<body>`. */
+  final case class HeadMeta(canonical: String, robotsNoindex: Boolean,
+                            robotsNofollow: Boolean, htmlLang: String)
+
+  def headMeta(html: String): HeadMeta = {
+    var canonical = ""
+    var noindex = false
+    var nofollow = false
+    var lang = ""
+    var i = 0
+    val n = html.length
+    var done = false
+    while (!done && i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) done = true
+      else if (html.startsWith("<!--", lt)) {
+        val e = html.indexOf("-->", lt + 4)
+        i = if (e < 0) n else e + 3
+      } else {
+        val gt = html.indexOf('>', lt)
+        if (gt < 0) done = true
+        else {
+          var p = lt + 1
+          val closing = p < gt && html.charAt(p) == '/'
+          if (closing) p += 1
+          val ns = p
+          while (p < gt && html.charAt(p).isLetterOrDigit) p += 1
+          val name = html.substring(ns, p).toLowerCase
+          if (!closing) name match {
+            case "html" =>
+              val attrs = parseAttrs(html, p, gt)
+              if (lang.isEmpty) lang = attrs.getOrElse("lang", "")
+            case "link" =>
+              val attrs = parseAttrs(html, p, gt)
+              if (attrs.get("rel").exists(_.equalsIgnoreCase("canonical")) &&
+                  canonical.isEmpty)
+                canonical = attrs.getOrElse("href", "")
+            case "meta" =>
+              val attrs = parseAttrs(html, p, gt)
+              if (attrs.get("name").exists(_.equalsIgnoreCase("robots"))) {
+                val c = attrs.getOrElse("content", "").toLowerCase
+                if (c.contains("noindex")) noindex = true
+                if (c.contains("nofollow")) nofollow = true
+              }
+            case "body" => done = true // head-only scan
+            case _ =>
+          }
+          i = gt + 1
+        }
+      }
+    }
+    HeadMeta(canonical, noindex, nofollow, lang)
+  }
+
   private def parseAttrs(s: String, from: Int, to: Int): Map[String, String] = {
     var i = from
     var out: Map[String, String] = Map.empty

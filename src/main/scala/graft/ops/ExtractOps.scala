@@ -761,6 +761,46 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** q63: head metadata + canonical-link dedup — the crawl decisions made
+    * BEFORE body extraction. Each doc's head carries a MESSY canonical link
+    * (the q61 variant classes: case, fragment, default port, tracking
+    * params, trailing slash — doc_id % 5 selects), a robots noindex for
+    * doc_id % 7 == 0, and the declared language. HeadMeta must find them in
+    * one bounded scan and UrlCanonical must collapse the link to the
+    * closed-form canonical. */
+  def headMetaPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val extracted = srcDocs(s, dir).as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        val g = id / 5
+        val base = s"https://example-$g.ro/articol/$g"
+        val messy = (id % 5) match {
+          case 0 => base + "?a=1&b=2"
+          case 1 => s"HTTPS://EXAMPLE-$g.RO/articol/$g?a=1&b=2#top"
+          case 2 => s"https://example-$g.ro:443/articol/$g?a=1&b=2"
+          case 3 => base + "?b=2&a=1&utm_source=rss"
+          case _ => base + "/?a=1&b=2"
+        }
+        val robots =
+          if (id % 7 == 0) """<meta name="robots" content="noindex, nofollow">"""
+          else """<meta name="robots" content="index, follow">"""
+        val html =
+          s"""<html lang="$lang"><head>$robots""" +
+            s"""<link rel="canonical" href="$messy"></head>""" +
+            s"""<body><p>${text.take(80)}</p>""" +
+            // a decoy canonical AFTER <body>: the head-only scan must stop
+            s"""<link rel="canonical" href="https://evil.example/hijack"></body></html>"""
+        val hm = HtmlExtract.headMeta(html)
+        (s"doc://$id", hm.canonical, hm.robotsNoindex, hm.robotsNofollow, hm.htmlLang, lang)
+      }
+      .toDF("url", "raw_canonical", "noindex", "nofollow", "html_lang", "lang")
+    extracted
+      .select($"url",
+        graft.functions.UrlCanonical.canonicalizeUrl($"raw_canonical").as("canonical_url"),
+        $"noindex", $"nofollow", ($"html_lang" === $"lang").as("lang_match"))
+      .orderBy($"url")
+  }
+
   /** q62: WARC ingestion round trip — the Common-Crawl container format as
     * a first-class source. The corpus is serialized into per-partition WARC
     * segments (alternating plain / per-file gzip, full HTTP response

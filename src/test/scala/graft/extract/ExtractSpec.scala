@@ -319,3 +319,33 @@ class UrlCanonicalSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(canon("HTTP://H.RO/CaseSensitive/Path") == Seq("http://h.ro/CaseSensitive/Path"))
   }
 }
+
+class HeadMetaSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("canonical link, robots directives, html lang") {
+    val hm = HtmlExtract.headMeta(
+      """<html lang="ro"><head><meta charset="utf-8">
+        |<meta name="robots" content="NOINDEX, nofollow">
+        |<link rel="stylesheet" href="/s.css">
+        |<link rel="canonical" href="https://site.ro/p?x=1">
+        |</head><body>text</body></html>""".stripMargin)
+    assert(hm.canonical == "https://site.ro/p?x=1")
+    assert(hm.robotsNoindex && hm.robotsNofollow)
+    assert(hm.htmlLang == "ro")
+  }
+
+  test("first canonical wins; post-body decoys and comments ignored") {
+    val hm = HtmlExtract.headMeta(
+      """<html><head><!-- <link rel="canonical" href="https://c.example/comment"> -->
+        |<link rel="canonical" href="https://a.example/first">
+        |<link rel="canonical" href="https://b.example/second">
+        |</head><body><link rel="canonical" href="https://evil.example/x"></body>""".stripMargin)
+    assert(hm.canonical == "https://a.example/first")
+    assert(!hm.robotsNoindex && hm.htmlLang.isEmpty)
+  }
+
+  test("missing head degrades to empty meta, never throws") {
+    assert(HtmlExtract.headMeta("") == HtmlExtract.HeadMeta("", false, false, ""))
+    assert(HtmlExtract.headMeta("<p>no head at all</p>").canonical.isEmpty)
+    HtmlExtract.headMeta("<html><head><link rel=") // truncated
+  }
+}
