@@ -862,7 +862,8 @@ object Ops {
   private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0)
 
   def connectedComponents(nodes: DataFrame, edgesIn: DataFrame,
-                          maxIters: Int = 64): (DataFrame, Int) = {
+                          maxIters: Int = 64,
+                          contractAbove: Long = 1000000L): (DataFrame, Int) = {
     val pairs = edgesIn.toDF("src", "dst")
     val edges = pairs.union(pairs.select(col("dst"), col("src")))
       .toDF("src", "dst").cache()
@@ -876,12 +877,25 @@ object Ops {
       .distinct()
     var comp = allNodes.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
+    // Edge contraction (round 5): once both endpoints share a label, an
+    // edge can never propose anything new — rewrite the edge relation
+    // through the current labels ((c(src), c(dst)), drop loops, dedup)
+    // after each round. Clique-heavy near-dup graphs collapse by orders of
+    // magnitude after the first merge round, so later rounds shuffle a
+    // component-level graph instead of the raw 10^7-edge relation; stranded
+    // non-representative nodes still converge through the pointer jump.
+    // Only applied while the relation is LARGE (contractAbove): small
+    // graphs keep the single-job-per-round shape, and the fixpoint (and
+    // therefore the result) is identical either way — pinned by
+    // CcContractionSpec at threshold 0.
+    var curEdges = edges
+    var edgeCount = -1L // unknown until first contraction check
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       // [1] neighbor min; the node's own label rides the union as `own` so
       // the old label survives the agg without a second join
-      val step1 = edges.join(comp, edges("src") === comp("doc_id"))
+      val step1 = curEdges.join(comp, curEdges("src") === comp("doc_id"))
         .select(col("dst").as("doc_id"), col("component"),
           lit(null).cast("long").as("own"))
         .union(comp.select(col("doc_id"), col("component"),
@@ -904,6 +918,22 @@ object Ops {
       converged = Option(obs.get("changed"))
         .map(_.asInstanceOf[Number].intValue()).getOrElse(0) == 0
       iter += 1
+      if (!converged) {
+        if (edgeCount < 0) edgeCount = curEdges.count() // first round only
+        if (edgeCount > contractAbove) {
+          val l1 = comp.select(col("doc_id").as("e_s"), col("component").as("cs"))
+          val l2 = comp.select(col("doc_id").as("e_d"), col("component").as("cd"))
+          val contracted = curEdges
+            .join(l1, curEdges("src") === col("e_s"))
+            .join(l2, curEdges("dst") === col("e_d"))
+            .select(col("cs").as("src"), col("cd").as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .distinct()
+            .localCheckpoint()
+          edgeCount = contracted.count() // materialized: cheap
+          curEdges = contracted
+        }
+      }
     }
     require(converged, s"component propagation did not converge in $maxIters rounds")
     edges.unpersist() // comp is checkpoint-materialized; safe to release

@@ -261,3 +261,39 @@ class DedupChainSpec extends org.scalatest.funsuite.AnyFunSuite {
     for ((_, c) <- out) assert(out(c) == c)
   }
 }
+
+/** Edge contraction must not change connected-component results — pinned by
+  * running the same graphs at threshold 0 (always contract) vs MaxValue
+  * (never contract). */
+class CcContractionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.extract.SparkTestSession.spark
+
+  private def run(edges: Seq[(Long, Long)], nodes: Seq[Long], thresh: Long)
+      : (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (labels, rounds) = graft.ops.Ops.connectedComponents(
+      nodes.toDF("doc_id"), edges.toDF("src", "dst"), contractAbove = thresh)
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("chain + clique + isolated: contracted == uncontracted labels") {
+    val clique = for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (100 + i, 100 + j)
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val edges = (clique ++ chain).toSeq
+    val nodes = (0L to 20L) ++ (100L until 108L) ++ Seq(999L)
+    val (a, _) = run(edges, nodes, thresh = Long.MaxValue)
+    val (b, _) = run(edges, nodes, thresh = 0L)
+    assert(a == b)
+    assert(a.filter(_._1 <= 20).values.toSet == Set(0L))   // chain collapses
+    assert(a.filter(kv => kv._1 >= 100 && kv._1 < 108).values.toSet == Set(100L))
+    assert(a(999L) == 999L)
+  }
+
+  test("two components bridged late by a single edge") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (10, 11), (11, 12), (3, 10))
+    val nodes = Seq[Long](1, 2, 3, 10, 11, 12)
+    val (a, _) = run(edges, nodes, Long.MaxValue)
+    val (b, _) = run(edges, nodes, 0L)
+    assert(a == b && a.values.toSet == Set(1L))
+  }
+}
