@@ -90,6 +90,8 @@ object SparkEntry {
     "q61_url_canonical_dedup" -> ((s, d) => Ops.q61UrlCanonicalDedup(s, d)),
     "q62_warc_ingest" -> (ExtractOps.warcIngest(_, _)),
     "q63_head_meta" -> (ExtractOps.headMetaPipeline(_, _)),
+    "q64_bpe_token_stats" -> ((s, d) => Ops.q64BpeTokenStats(s, d)),
+    "q65_ngram_langid" -> ((s, d) => Ops.q65NgramLangId(s, d)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -906,5 +908,27 @@ object SparkEntry {
         | doc_id % 7 = 0 AS noindex, doc_id % 7 = 0 AS nofollow,
         | TRUE AS lang_match
         |FROM documents ORDER BY url""".stripMargin,
+
+    // BPE-ish token counting: the SAME lookahead-free GPT-2-style regex in
+    // RE2 -- leftmost-first alternation matches Java's, so counts are exact
+    "q64_bpe_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text,
+        |   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS INTEGER) AS bpe_tokens,
+        | CAST(len(text) AS INTEGER) AS n_chars,
+        | round(len(regexp_extract_all(text,
+        |   '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) * 1.0
+        |   / len(string_split(text, ' ')), 6) AS bpe_per_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // char-trigram LID generalization: held-out test sentences (disjoint
+    // from the profile seeds) must classify back to their language
+    "q65_ngram_langid" ->
+      """WITH c AS (SELECT doc_id,
+        |  ['de','en','es','fr','ro'][CAST(doc_id % 5 AS INTEGER) + 1] AS expected
+        |  FROM documents)
+        |SELECT doc_id, expected, expected AS predicted, TRUE AS correct
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -695,6 +695,106 @@ object Ops {
     materializeAndRelease(out, docToRep)
   }
 
+  /** Char-trigram language ID (the n-gram heuristic of the LLM-pipeline
+    * brief, complementing q12's stopword argmax): cosine similarity between
+    * the document's character-trigram counts and fixed per-language
+    * profiles built from embedded seed sentences. Row-local, no external
+    * model. Deterministic lexicographic tiebreak. */
+  val LangNgramSeeds: Map[String, String] = Map(
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund während " +
+      "die kinder ihre bücher in der ruhigen bibliothek lesen und die lehrerin " +
+      "schreibt die aufgaben an die grosse tafel"),
+    "en" -> ("the quick brown fox jumps over the lazy dog while the children " +
+      "read their books in the quiet library during the long afternoon and the " +
+      "teacher writes the exercises on the large board"),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso mientras los " +
+      "niños leen sus libros en la biblioteca tranquila durante la tarde y la " +
+      "maestra escribe los ejercicios en la pizarra grande"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux pendant " +
+      "que les enfants lisent leurs livres dans la bibliothèque calme durant " +
+      "la longue après midi et la maîtresse écrit les exercices au tableau"),
+    "ro" -> ("vulpea maronie rapidă sare peste câinele leneș în timp ce copiii " +
+      "citesc cărțile lor în biblioteca liniștită în timpul după amiezii lungi " +
+      "iar învățătoarea scrie exercițiile pe tabla cea mare"))
+
+  private def charTrigrams(text: String): Map[String, Int] = {
+    val clean = " " + text.toLowerCase
+      .map(c => if (c.isLetter) c else ' ')
+      .replaceAll("\\s+", " ").trim + " "
+    if (clean.length < 3) Map.empty
+    else clean.sliding(3).foldLeft(Map.empty[String, Int]) { (m, g) =>
+      m.updated(g, m.getOrElse(g, 0) + 1)
+    }
+  }
+
+  private lazy val LangNgramProfiles: Seq[(String, Map[String, Double], Double)] =
+    LangNgramSeeds.toSeq.sortBy(_._1).map { case (code, seed) =>
+      val counts = charTrigrams(seed)
+      val norm = math.sqrt(counts.values.map(v => v.toDouble * v).sum)
+      (code, counts.map { case (k, v) => k -> v.toDouble }, norm)
+    }
+
+  /** Most-similar profile by cosine; "und" (unknown) when the text shares
+    * no trigram with any profile. */
+  def charTrigramLangId(text: String): String = {
+    val doc = charTrigrams(text)
+    if (doc.isEmpty) return "und"
+    val docNorm = math.sqrt(doc.values.map(v => v.toDouble * v).sum)
+    var best = "und"
+    var bestSim = 0.0
+    for ((code, prof, profNorm) <- LangNgramProfiles) {
+      var dot = 0.0
+      doc.foreach { case (g, c) => dot += c * prof.getOrElse(g, 0.0) }
+      val sim = if (profNorm == 0 || docNorm == 0) 0.0 else dot / (profNorm * docNorm)
+      if (sim > bestSim) { bestSim = sim; best = code } // lexicographic tie: first wins
+    }
+    best
+  }
+
+  /** q65: n-gram LID generalization check — TEST sentences (disjoint from
+    * the profile seeds) per language, chosen by doc_id % 5, must classify
+    * back to their language. Closed-form oracle. */
+  val LangNgramTests: Map[String, String] = Map(
+    "de" -> "gestern abend haben wir zusammen mit unseren freunden ein schönes neues restaurant in der stadt besucht",
+    "en" -> "yesterday evening we visited a beautiful new restaurant in the city together with our old friends",
+    "es" -> "ayer por la noche visitamos un hermoso restaurante nuevo en la ciudad junto con nuestros viejos amigos",
+    "fr" -> "hier soir nous avons visité un beau nouveau restaurant dans la ville avec nos vieux amis",
+    "ro" -> "aseară am vizitat împreună cu vechii noștri prieteni un restaurant nou și frumos în centrul orașului")
+
+  def q65NgramLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.newLongEncoder
+    val codes = LangNgramTests.keys.toSeq.sorted
+    documents(s, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val expected = codes((id % 5).toInt)
+        val predicted = charTrigramLangId(LangNgramTests(expected))
+        (id, expected, predicted, expected == predicted)
+      }(org.apache.spark.sql.Encoders.product[(Long, String, String, Boolean)])
+      .toDF("doc_id", "expected", "predicted", "correct")
+      .orderBy(col("doc_id"))
+  }
+
+  /** GPT-2-style pre-tokenizer regex (lookahead-free variant: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs).
+    * Identical leftmost-first semantics in Java regex and DuckDB's RE2, so
+    * the count is oracle-exact. */
+  val BpeTokenRegex: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** q64: token counting, whitespace AND BPE-ish (the LLM-pipeline unit of
+    * account — dataset sizes are quoted in BPE tokens, not words). Entirely
+    * map-side. */
+  def q64BpeTokenStats(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(regexp_extract_all($"text", lit(BpeTokenRegex), lit(0)))
+          .as("bpe_tokens"),
+        length($"text").as("n_chars"))
+      .withColumn("bpe_per_ws",
+        round($"bpe_tokens".cast("double") / $"ws_tokens", 6))
+      .orderBy($"doc_id")
+
   /** q61: canonical-url dedup. Each doc gets a messy URL variant (case,
     * fragment, default port, tracking params + param order, trailing slash
     * — doc_id % 5 selects the variant, doc_id / 5 the underlying page);

@@ -297,3 +297,29 @@ class CcContractionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a == b && a.values.toSet == Set(1L))
   }
 }
+
+class NgramLangIdSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ops.Ops
+
+  test("held-out sentences classify to their language (all 5)") {
+    for ((code, sentence) <- Ops.LangNgramTests)
+      assert(Ops.charTrigramLangId(sentence) == code, s"for $code")
+  }
+
+  test("profile seeds classify to themselves (sanity)") {
+    for ((code, seed) <- Ops.LangNgramSeeds)
+      assert(Ops.charTrigramLangId(seed) == code, s"for $code")
+  }
+
+  test("degenerate inputs yield 'und', never throw") {
+    assert(Ops.charTrigramLangId("") == "und")
+    assert(Ops.charTrigramLangId("42 17 99 ... !!") == "und")
+    assert(Ops.charTrigramLangId("xy") == "und")
+  }
+
+  test("mixed text goes to the dominant language") {
+    val mixed = Ops.LangNgramTests("en") + " " + Ops.LangNgramTests("en") +
+      " " + Ops.LangNgramTests("ro").split(" ").take(3).mkString(" ")
+    assert(Ops.charTrigramLangId(mixed) == "en")
+  }
+}
