@@ -195,6 +195,7 @@ object HtmlExtract {
           val ns = p
           while (p < gt && html.charAt(p).isLetterOrDigit) p += 1
           val name = html.substring(ns, p).toLowerCase
+          var nextI = gt + 1
           if (!closing) name match {
             case "html" =>
               val attrs = parseAttrs(html, p, gt)
@@ -211,10 +212,20 @@ object HtmlExtract {
                 if (c.contains("noindex")) noindex = true
                 if (c.contains("nofollow")) nofollow = true
               }
+            case "script" | "style" =>
+              // raw-text content: a '<body' or '<link' inside a JS/CSS
+              // string literal is data, not markup — skip to the close tag
+              val close = html.indexOf("</" + name, gt + 1)
+              nextI =
+                if (close < 0) n
+                else {
+                  val e = html.indexOf('>', close)
+                  if (e < 0) n else e + 1
+                }
             case "body" => done = true // head-only scan
             case _ =>
           }
-          i = gt + 1
+          i = nextI
         }
       }
     }

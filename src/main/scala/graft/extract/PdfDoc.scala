@@ -287,6 +287,10 @@ object PdfDoc {
       * empty user password — callers must not fall back to raw byte scans
       * (they would read ciphertext). */
     def locked: Boolean = encryptedLocked
+    /** True when /Encrypt is present at all (decryptable or locked) — the
+      * raw-byte-scan fallback must be suppressed either way, since the file
+      * bytes are ciphertext even when WE can decrypt them. */
+    def encrypted: Boolean = encryptedLocked || decryptorOpt.nonEmpty
 
     /** obj number -> file offset, from every classic xref section in file
       * order (incremental updates later in the file override). */
@@ -616,11 +620,37 @@ object PdfDoc {
       }
     }
 
+    /** A /Filter /Crypt entry whose /DecodeParms /Name is Identity (or
+      * absent — Identity is the default) marks the stream as stored
+      * UNencrypted inside an encrypted file (ISO 32000-1 §7.4.10; the
+      * classic case is plaintext /Metadata). Decrypting it would turn
+      * plaintext into garbage. */
+    private def cryptIdentityExcluded(d: Map[String, P]): Boolean = {
+      val filters = d.get("Filter") match {
+        case Some(PName(n)) => List(n)
+        case Some(PArr(a)) => a.collect { case PName(n) => n }.toList
+        case _ => Nil
+      }
+      if (!filters.contains("Crypt")) false
+      else {
+        val parms: Seq[Map[String, P]] =
+          d.get("DecodeParms").orElse(d.get("DP")) match {
+            case Some(PDict(m)) => Seq(m)
+            case Some(PArr(a)) => a.collect { case PDict(m) => m }
+            case _ => Seq.empty
+          }
+        val nameOpt = parms.flatMap(_.get("Name")).collectFirst { case PName(n) => n }
+        nameOpt.forall(_ == "Identity")
+      }
+    }
+
     /** Raw stream body after decryption (xref streams are NEVER encrypted;
-      * ISO 32000-1 §7.5.8.2). Locked documents yield empty. */
+      * ISO 32000-1 §7.5.8.2; /Crypt-Identity streams are stored plaintext).
+      * Locked documents yield empty. */
     private def rawOf(st: PStream): String = {
       if (decryptorOpt.isEmpty && !encryptedLocked) st.raw
       else if (st.dict.v.get("Type").contains(PName("XRef"))) st.raw
+      else if (cryptIdentityExcluded(st.dict.v)) st.raw
       else if (encryptedLocked) ""
       else {
         val own = streamOwner.get(st)
@@ -1356,7 +1386,7 @@ object PdfDoc {
       catch { case _: Exception => Map.empty[Int, Seq[Glyph]] }
     }.getOrElse(Map.empty[Int, Seq[Glyph]])
     if (viaModel.values.exists(_.nonEmpty)) viaModel
-    else if (docOpt.exists(_.locked)) Map.empty
+    else if (docOpt.exists(_.encrypted)) Map.empty // raw bytes are ciphertext
     else PdfText.extractGlyphs(pdf, fallbackPageHeight)
   }
 

@@ -270,8 +270,11 @@ object PdfLayout {
   private[extract] def kvOf(text: String): Option[KvPair] = {
     val toks = text.trim.split("\\s+").toSeq
     if (toks.length < 3) return None
-    // smallest split point whose tail is all value tokens
-    var i = toks.length - 1
+    // smallest split point whose tail is all value tokens — starting at
+    // length so the LAST token is tested too (a prose line ending in a
+    // word must not qualify just because its second-to-last token is
+    // numeric)
+    var i = toks.length
     while (i > 0 && isKvValueToken(toks(i - 1))) i -= 1
     if (i < 1 || toks.length - i < 2) return None
     val head = toks.take(i)

@@ -36,7 +36,12 @@ object UrlCanonical {
       !(p.startsWith("utm_") || p.startsWith("fbclid") ||
         p.startsWith("gclid") || p === lit("")))
     val sortedQ = array_join(array_sort(kept), "&")
-    concat(scheme, lit("://"), host, path,
+    val canonical = concat(scheme, lit("://"), host, path,
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+    // unparseable inputs (relative hrefs, protocol-relative //host/p, plain
+    // garbage) pass through UNCHANGED: collapsing them all to ':///' would
+    // merge unrelated pages in canonical-url dedup — the opposite of
+    // "nothing that changes which resource the URL names"
+    when(scheme === "" || host === "", u).otherwise(canonical)
   }
 }

@@ -1023,6 +1023,9 @@ object Ops {
         if (edgeCount > contractAbove) {
           val l1 = comp.select(col("doc_id").as("e_s"), col("component").as("cs"))
           val l2 = comp.select(col("doc_id").as("e_d"), col("component").as("cd"))
+          // superseded edge checkpoints (like the superseded comp labels
+          // above) are released by the ContextCleaner once unreferenced —
+          // localCheckpoint blocks are GC-tracked, unlike .cache()
           val contracted = curEdges
             .join(l1, curEdges("src") === col("e_s"))
             .join(l2, curEdges("dst") === col("e_d"))

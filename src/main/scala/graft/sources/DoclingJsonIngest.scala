@@ -99,13 +99,18 @@ object DoclingJsonIngest {
           val cells = n.path("graph").path("cells").elements().asScala.map { c =>
             c.path("cell_id").asInt -> (c.path("label").asText("key"), c.path("text").asText(""))
           }.toMap
-          val linked = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+          // a key cell may link to SEVERAL value cells (legal GraphData);
+          // collect all targets in link order and space-join their text
+          val linked = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[Int]]
           n.path("graph").path("links").elements().asScala.foreach { l =>
-            linked(l.path("source_cell_id").asInt) = l.path("target_cell_id").asInt
+            val src = l.path("source_cell_id").asInt
+            linked(src) = linked.getOrElse(src, Vector.empty) :+
+              l.path("target_cell_id").asInt
           }
           val pairs = cells.toSeq.sortBy(_._1).collect {
             case (id, ("key", keyText)) =>
-              val valueText = linked.get(id).flatMap(cells.get).map(_._2).getOrElse("")
+              val valueText = linked.getOrElse(id, Vector.empty)
+                .flatMap(cells.get).map(_._2).filter(_.nonEmpty).mkString(" ")
               KvPair(keyText, valueText)
           }.toArray
           items += DocItem(idx, ItemKind.KeyValue,

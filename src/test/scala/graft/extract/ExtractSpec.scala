@@ -318,6 +318,16 @@ class UrlCanonicalSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("path case is preserved (only scheme/host fold)") {
     assert(canon("HTTP://H.RO/CaseSensitive/Path") == Seq("http://h.ro/CaseSensitive/Path"))
   }
+
+  test("unparseable inputs pass through unchanged (no ':///'-collapse merges)") {
+    // relative and protocol-relative hrefs are common canonical-link values
+    assert(canon("/articol/1") == Seq("/articol/1"))
+    assert(canon("//host.ro/p") == Seq("//host.ro/p"))
+    assert(canon("not a url at all") == Seq("not a url at all"))
+    assert(canon("") == Seq(""))
+    // two different unparseables must NOT share a canonical form
+    assert(canon("/a", "/b").distinct.length == 2)
+  }
 }
 
 class HeadMetaSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -341,6 +351,17 @@ class HeadMetaSpec extends org.scalatest.funsuite.AnyFunSuite {
         |</head><body><link rel="canonical" href="https://evil.example/x"></body>""".stripMargin)
     assert(hm.canonical == "https://a.example/first")
     assert(!hm.robotsNoindex && hm.htmlLang.isEmpty)
+  }
+
+  test("script/style contents are data, not markup (decoys + hidden body)") {
+    // a '<body' inside a JS string must not stop the scan before the real
+    // canonical; a canonical inside a script string must not count
+    val hm = HtmlExtract.headMeta(
+      """<html><head><script>var t = "<body>"; document.write('<link rel="canonical" href="https://evil.example/inject">');</script>
+        |<style>/* <link rel="canonical" href="https://evil.example/css"> */</style>
+        |<link rel="canonical" href="https://real.example/page">
+        |</head><body></body></html>""".stripMargin)
+    assert(hm.canonical == "https://real.example/page")
   }
 
   test("missing head degrades to empty meta, never throws") {

@@ -20,34 +20,15 @@ class PdfCryptSpec extends AnyFunSuite {
     parts.foreach(d.update)
     d.digest()
   }
+  // Algorithms 3/5 live in PdfCrypt (the writer half also used by
+  // SyntheticPdf.pdfForEncrypted) — the spec must not keep its own copy
+  private def computeO(ownerPwd: String, userPwd: String, n: Int): Array[Byte] =
+    PdfCrypt.computeOwnerEntry(ownerPwd.getBytes(ISO_8859_1),
+      userPwd.getBytes(ISO_8859_1), n)
+  private def computeU(fileKey: Array[Byte]): Array[Byte] =
+    PdfCrypt.computeUserEntryR34(fileKey, FileId)
   private def pad32(pwd: String): Array[Byte] =
-    (pwd.getBytes(ISO_8859_1) ++ PdfCrypt.Pad).take(32)
-
-  /** Algorithm 3: the /O entry from owner+user passwords (R3/R4). */
-  private def computeO(ownerPwd: String, userPwd: String, n: Int): Array[Byte] = {
-    var h = md5(pad32(ownerPwd))
-    var k = 0
-    while (k < 50) { h = md5(h.take(n)); k += 1 }
-    val key = h.take(n)
-    var o = pad32(userPwd)
-    var i = 0
-    while (i <= 19) {
-      o = PdfCrypt.rc4(key.map(b => (b ^ i).toByte), o)
-      i += 1
-    }
-    o
-  }
-
-  /** Algorithm 5: the /U entry for R3/R4 from the file key. */
-  private def computeU(fileKey: Array[Byte]): Array[Byte] = {
-    var x = md5(PdfCrypt.Pad, FileId)
-    var i = 0
-    while (i <= 19) {
-      x = PdfCrypt.rc4(fileKey.map(b => (b ^ i).toByte), x)
-      i += 1
-    }
-    x ++ new Array[Byte](16)
-  }
+    PdfCrypt.pad32(pwd.getBytes(ISO_8859_1))
 
   private def aesEncrypt(key: Array[Byte], iv: Array[Byte],
                          plain: Array[Byte], pad: Boolean): Array[Byte] = {
@@ -342,6 +323,43 @@ class PdfCryptSpec extends AnyFunSuite {
       s"/Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n$xrefData\nendstream\nendobj\n"
     sb ++= s"startxref\n$xrefPos\n%%EOF\n"
     assert(textOf(sb.result().getBytes(ISO_8859_1)) == "SECRET")
+  }
+
+  test("/Crypt filter with Identity name: stream stored plaintext, not 'decrypted'") {
+    // an encrypted file whose content stream is marked /Crypt-Identity
+    // (ISO 32000-1 section 7.4.10) must pass through undecrypted
+    val p = -44
+    val o = computeO("owner", "", 16)
+    val fileKey = {
+      var h = md5(pad32(""), o, Array(
+        (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+        ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte), FileId)
+      var k = 0
+      while (k < 50) { h = md5(h.take(16)); k += 1 }
+      h.take(16)
+    }
+    val u = computeU(fileKey)
+    // content stream stored PLAINTEXT with the Crypt-Identity marker
+    val pdf = assemble(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $p " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>",
+      Content.getBytes(ISO_8859_1),
+      streamDictExtra = "/Filter /Crypt /DecodeParms << /Name /Identity >>")
+    assert(textOf(pdf) == "SECRET")
+  }
+
+  test("encrypted-but-unlocked docs never fall back to the raw byte scan") {
+    // an encrypted file whose page tree is corrupted yields zero glyphs via
+    // the model; an unreferenced PLAINTEXT decoy stream would be picked up
+    // by the legacy scan — the encrypted flag must suppress it
+    val base = rc4Pdf("")
+    val s = new String(base, ISO_8859_1)
+    val corrupted = s.replace("/Type /Pages", "/Type /Pagez") // breaks the tree walk
+    val decoy = "90 0 obj\n<< /Length 34 >>\nstream\nBT /F1 12 Tf (LEAK) Tj ET\nendstream\nendobj\n"
+    val at = corrupted.indexOf("xref")
+    val mutated = (corrupted.substring(0, at) + decoy + corrupted.substring(at))
+      .getBytes(ISO_8859_1)
+    assert(!textOf(mutated).contains("LEAK"))
   }
 
   // --------------------------------------------------------- robustness

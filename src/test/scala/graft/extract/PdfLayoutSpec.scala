@@ -159,3 +159,19 @@ class PdfHeaderGroupSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
 }
+
+class KvLineSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("kvOf: label head + all-value tail splits; prose does not qualify") {
+    val p = PdfLayout.kvOf("Active imobilizate - total RON 281.775.783 RON 243.511.009 16,87%")
+    assert(p.exists(k => k.key == "Active imobilizate - total" &&
+      k.value == "RON 281.775.783 RON 243.511.009 16,87%"))
+    // the LAST token must be a value token too — a prose line whose
+    // second-to-last token is numeric is NOT a kv line (round-5 review fix)
+    assert(PdfLayout.kvOf("Rata a crescut cu 15 procente").isEmpty)
+    assert(PdfLayout.kvOf("Compania a investit 23 milioane RON anul trecut").isEmpty)
+    // dates and the delta symbol count as values
+    assert(PdfLayout.kvOf("Indicatori 30/09/2025 31/12/2024").nonEmpty)
+    // all-numeric line (no worded head) does not qualify
+    assert(PdfLayout.kvOf("100 200 300").isEmpty)
+  }
+}
