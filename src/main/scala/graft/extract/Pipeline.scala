@@ -38,7 +38,12 @@ object Pipeline {
       maxPages: Option[Int] = None,
       /** picture render mode: placeholder (reference default) | referenced
         * | embedded — see MarkdownRender.ImageMode. */
-      imageMode: String = MarkdownRender.ImageMode.Placeholder)
+      imageMode: String = MarkdownRender.ImageMode.Placeholder,
+      /** use the neighbor-aware Boilerpipe NumWordsRulesClassifier
+        * (HtmlExtract.applyBoilerpipe) instead of the per-block thresholds.
+        * Off by default: the reference semantics (and the probe/OCR config
+        * views) are defined over the threshold path. */
+      boilerpipe: Boolean = false)
 
   /** Apply the page_range / max_pages restriction to a parsed tree — the
     * reference passes these to the converter, so it runs BEFORE the trigger
@@ -169,7 +174,12 @@ object Pipeline {
       // instead of re-parsing (applyConfig is an array map)
       val html = new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8)
       detailed = HtmlExtract.parseDetailed(url, html)
-      if (opts.ocrMode == "on") {
+      if (opts.boilerpipe) {
+        // classifier mode: one view, no probe/OCR re-thresholding (those
+        // config knobs are parameters of the threshold path)
+        parsed = restrictPages(HtmlExtract.applyBoilerpipe(detailed), opts)
+        backend = "boilerpipe"
+      } else if (opts.ocrMode == "on") {
         // forced full-page OCR (conversion_utils.py:357-358): the keep-
         // everything parse unconditionally — no probe, no retry bookkeeping,
         // and no standard parse paid first
@@ -182,7 +192,7 @@ object Pipeline {
           HtmlExtract.applyConfig(detailed, std.linkDensityThreshold, std.minContentChars), opts)
         backend = std.name
       }
-      if (opts.ocrMode != "on" && opts.backendAuto) {
+      if (!opts.boilerpipe && opts.ocrMode != "on" && opts.backendAuto) {
         // probe shortcut: scoring is capped at 100 and Python max keeps the
         // first argmax, so a perfect standard page-1 always wins — only
         // sub-100 documents score the aggressive view
@@ -197,7 +207,7 @@ object Pipeline {
           }
         }
       }
-      if (opts.ocrMode == "auto") {
+      if (!opts.boilerpipe && opts.ocrMode == "auto") {
         val text = MarkdownRender.renderPlainText(parsed)
         val charsPerPage = text.length.toDouble / math.max(parsed.pages.length, 1)
         val ratio = spacedCellRatio(parsed)
