@@ -92,6 +92,7 @@ object SparkEntry {
     "q63_head_meta" -> (ExtractOps.headMetaPipeline(_, _)),
     "q64_bpe_token_stats" -> ((s, d) => Ops.q64BpeTokenStats(s, d)),
     "q65_ngram_langid" -> ((s, d) => Ops.q65NgramLangId(s, d)),
+    "q66_streaming_sessions" -> (ExtractOps.streamingSessions(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -930,5 +931,19 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, expected, expected AS predicted, TRUE AS correct
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // gap-based sessionization (30-min gap): the flatMapGroupsWithState
+    // streaming fold must equal this relational definition exactly
+    "q66_streaming_sessions" ->
+      """WITH x AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS sum_value, TRUE AS stream_match
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

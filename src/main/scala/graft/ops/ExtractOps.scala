@@ -801,6 +801,69 @@ object ExtractOps {
       .orderBy($"url")
   }
 
+  /** q66: gap-based sessionization — flatMapGroupsWithState (custom state +
+    * event-time timeout) vs the relational batch twin. The event table is
+    * replayed as ts-ordered file micro-batches plus a far-future sentinel
+    * file per user (closing every real session by gap, advancing the
+    * watermark); the streamed session set must equal the batch twin's
+    * EXACTLY — the batch twin is what the DuckDB oracle recomputes. */
+  def streamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapMinutes = 30
+    val base = java.nio.file.Files.createTempDirectory("graft-q66").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .cache()
+    // two ts-range files (ordered micro-batches), then the sentinel file
+    val mid = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .collect()(0).getDouble(0)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$base/src/$name.parquet"))
+      Thread.sleep(5) // distinct mod times: FileStreamSource replays in order
+    }
+    writeOne(ev.filter($"ts".cast("double") <= mid), "f0")
+    writeOne(ev.filter($"ts".cast("double") > mid), "f1")
+    val sentinels = ev.groupBy($"user_id")
+      .agg((max($"ts".cast("double")) + 864000).cast("timestamp").as("ts"))
+      .select(lit(-1L).as("event_id"), $"user_id", $"ts", lit(0.0).as("value"))
+    writeOne(sentinels, "f2")
+    val query = graft.streaming.Sessionize.stream(
+      s, s"$base/src", s"$base/out", s"$base/chk", gapMinutes)
+    query.awaitTermination()
+    // sentinel-started sessions CAN surface via event-time timeout (the
+    // per-user sentinel ts differ, so early ones fall behind the global
+    // watermark) — a harness artifact, excluded by the sentinel floor
+    val maxRealTs = ev.agg(max($"ts")).collect()(0).getTimestamp(0)
+    val streamed = s.read.parquet(s"$base/out")
+      .filter($"session_start" <= lit(maxRealTs))
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events".as("s_n"), $"sum_value".as("s_sum"))
+    val batch = graft.streaming.Sessionize.batchSessions(ev, gapMinutes)
+    val nb = batch.count()
+    val ns = streamed.count()
+    // session identity = (user, start, end); counts exact, sums within
+    // float tolerance (the fold accumulates in event-time order, batch
+    // sum() in partition order — same set, different fp association)
+    val out = batch.join(streamed, Seq("user_id", "session_start", "session_end"), "left")
+      .select($"user_id",
+        $"session_start".cast("timestamp_ntz").as("session_start"),
+        $"session_end".cast("timestamp_ntz").as("session_end"),
+        $"n_events", $"sum_value",
+        ($"s_n" === $"n_events" &&
+          abs($"s_sum" - $"sum_value") < 0.001 &&
+          lit(nb == ns)).as("stream_match"))
+      .orderBy($"user_id", $"session_start")
+    val result = out.localCheckpoint()
+    ev.unpersist()
+    result
+  }
+
   /** q62: WARC ingestion round trip — the Common-Crawl container format as
     * a first-class source. The corpus is serialized into per-partition WARC
     * segments (alternating plain / per-file gzip, full HTTP response

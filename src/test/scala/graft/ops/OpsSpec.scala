@@ -323,3 +323,29 @@ class NgramLangIdSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Ops.charTrigramLangId(mixed) == "en")
   }
 }
+
+class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.extract.SparkTestSession.spark
+
+  test("batch twin: gap breaks, boundary inclusion, per-user isolation") {
+    import spark.implicits._
+    def t(min: Int, micro: Int = 0): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      ts.setNanos(micro * 1000); ts
+    }
+    val ev = Seq(
+      (1L, 10L, t(0), 1.0), (2L, 10L, t(29), 2.0),   // same session (29 < 30)
+      (3L, 10L, t(59), 3.0),                          // still same (gap 30:00 == limit, NOT >)
+      (4L, 10L, t(90), 4.0),                          // new session (31 min)
+      (5L, 20L, t(0), 5.0))                           // other user
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.streaming.Sessionize.batchSessions(ev, 30)
+      .orderBy($"user_id", $"session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((10L, 3L, 6.0), (10L, 1L, 4.0), (20L, 1L, 5.0)))
+    // a single microsecond past the gap limit breaks the session
+    val ev2 = Seq((1L, 10L, t(0), 1.0), (2L, 10L, t(30, 1), 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(graft.streaming.Sessionize.batchSessions(ev2, 30).count() == 2)
+  }
+}
