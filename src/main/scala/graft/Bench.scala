@@ -125,7 +125,8 @@ object Bench {
       "q18_minhash_lsh_pairs", "q19_simhash", "q29_simhash64_pairs",
       "q23_cosine_lsh_topk", "q27_cosine_ivf_topk", "q49_ivf_trained",
       "q50_paragraph_dedup", "q56_quality_filter", "q30_extract_documents",
-      "q34_multimodal_features", "q61_url_canonical_dedup"))
+      "q34_multimodal_features", "q61_url_canonical_dedup",
+      "q64_bpe_token_stats", "q65_ngram_langid"))
       .filterNot(SparkEntry.baselineOnly)
     // steady-state: each query warms IMMEDIATELY before its timed runs and
     // is timed best-of-2. Round 3's single upfront warm loop was not enough:
