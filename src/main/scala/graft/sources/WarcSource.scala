@@ -66,7 +66,10 @@ object WarcSource {
             }.toMap
           val len = headers.get("content-length").flatMap(_.toIntOption).getOrElse(-1)
           val payloadStart = headerEnd + 4
-          if (len < 0 || payloadStart + len > s.length) ok = false // truncated
+          // Long bound: a hostile near-Int.MaxValue length would overflow
+          // payloadStart + len to negative, and indexOf from a negative
+          // position restarts at 0 — an infinite loop, not just a bad slice
+          if (len < 0 || payloadStart.toLong + len > s.length) ok = false // truncated
           else {
             val payload = bytes.slice(payloadStart, payloadStart + len)
             val (status, cType, body) = httpParts(payload,
