@@ -93,6 +93,7 @@ object SparkEntry {
     "q64_bpe_token_stats" -> ((s, d) => Ops.q64BpeTokenStats(s, d)),
     "q65_ngram_langid" -> ((s, d) => Ops.q65NgramLangId(s, d)),
     "q66_streaming_sessions" -> (ExtractOps.streamingSessions(_, _)),
+    "q67_dedup_chain" -> ((s, d) => Ops.q67DedupChainOracle(s, d)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -945,5 +946,12 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_events,
         | round(sum(value), 4) AS sum_value, TRUE AS stream_match
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // full dedup chain closed form: exact classes {4g,4g+1} and {4g+2,4g+3}
+    // share a trigram SET (identical minhash) -> LSH bridges the reps ->
+    // every member's canonical is the group's min id
+    "q67_dedup_chain" ->
+      """SELECT doc_id, (doc_id // 4) * 4 AS canonical_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -795,6 +795,30 @@ object Ops {
         round($"bpe_tokens".cast("double") / $"ws_tokens", 6))
       .orderBy($"doc_id")
 
+  /** q67: the FULL dedup chain under the oracle. Construction with a
+    * closed form through every stage: group g = doc_id / 4 uses its own
+    * 3-word vocabulary cycled, members 0/1 get the 12-word text (exact
+    * class A), members 2/3 the 15-word text (exact class B). A and B have
+    * DIFFERENT text hashes but the IDENTICAL trigram SET (cyclic
+    * repetition adds no new shingles), hence identical minhash signatures,
+    * hence a guaranteed LSH pair between the two exact-class reps — so
+    * exact dedup, LSH, components, and representative selection must all
+    * fire for canonical_id to land on (doc_id/4)*4 for every member. */
+  def q67DedupChainOracle(s: SparkSession, dir: String): DataFrame = {
+    // n words of the cycled per-group vocabulary ga{g}a ga{g}b ga{g}c
+    def cyc(n: Int, g: Column): Column =
+      concat_ws(" ", (0 until n).map(i =>
+        concat(lit("ga"), g, lit(Seq("a", "b", "c")(i % 3)))): _*)
+    val docs = documents(s, dir)
+      .select($"doc_id", ($"doc_id" / 4).cast("long").as("g"))
+      .select($"doc_id",
+        when($"doc_id" % 4 < 2, cyc(12, $"g"))
+          .otherwise(cyc(15, $"g"))
+          .as("text"))
+    dedupChain(docs)
+      .orderBy($"doc_id")
+  }
+
   /** q61: canonical-url dedup. Each doc gets a messy URL variant (case,
     * fragment, default port, tracking params + param order, trailing slash
     * — doc_id % 5 selects the variant, doc_id / 5 the underlying page);
