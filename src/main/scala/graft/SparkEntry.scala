@@ -94,6 +94,7 @@ object SparkEntry {
     "q65_ngram_langid" -> ((s, d) => Ops.q65NgramLangId(s, d)),
     "q66_streaming_sessions" -> (ExtractOps.streamingSessions(_, _)),
     "q67_dedup_chain" -> ((s, d) => Ops.q67DedupChainOracle(s, d)),
+    "q68_streaming_lsh" -> (ExtractOps.streamingLshPairs(_, _)),
   )
 
   /** Correctness baselines with deliberately quadratic shapes, kept ONLY to
@@ -953,5 +954,19 @@ object SparkEntry {
     "q67_dedup_chain" ->
       """SELECT doc_id, (doc_id // 4) * 4 AS canonical_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // streaming LSH pair set == the q18 relation, recomputed from scratch
+    "q68_streaming_lsh" -> {
+      val bandSelects = (0 until Ops.MinhashK by 2).map { j =>
+        s"SELECT doc_id, ${j / 2} AS band, CAST(sig_$j AS VARCHAR) || ':' || " +
+          s"CAST(sig_${j + 1} AS VARCHAR) AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $minhashCtes,
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, TRUE AS stream_match
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -864,6 +864,44 @@ object ExtractOps {
     result
   }
 
+  /** q68: streaming LSH candidate pairs == batch LSH candidate pairs. The
+    * documents table is replayed as 3 file micro-batches; the banded
+    * custom-state fold (row-local signature twin) must reproduce the batch
+    * operator's pair SET exactly — the set the q18 oracle recomputes from
+    * scratch in SQL. */
+  def streamingLshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-q68").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").cache()
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$base/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$base/src/$name.parquet"))
+      Thread.sleep(5)
+    }
+    for (k <- 0 until 3) writeOne(docs.filter($"doc_id" % 3 === k), s"f$k")
+    val query = graft.streaming.StreamingLsh.stream(
+      s, s"$base/src", s"$base/out", s"$base/chk")
+    query.awaitTermination()
+    val streamed = s.read.parquet(s"$base/out")
+      .select($"id_a", $"id_b").distinct()
+    val batch = graft.ops.Ops.minhashLshPairsOf(docs)
+    val nb = batch.count()
+    val ns = streamed.count()
+    val out = batch
+      .join(streamed.withColumn("m", lit(true)), Seq("id_a", "id_b"), "left")
+      .select($"id_a", $"id_b",
+        (coalesce($"m", lit(false)) && lit(nb == ns)).as("stream_match"))
+      .orderBy($"id_a", $"id_b")
+    val result = out.localCheckpoint()
+    docs.unpersist()
+    result
+  }
+
   /** q62: WARC ingestion round trip — the Common-Crawl container format as
     * a first-class source. The corpus is serialized into per-partition WARC
     * segments (alternating plain / per-file gzip, full HTTP response

@@ -349,3 +349,37 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(graft.streaming.Sessionize.batchSessions(ev2, 30).count() == 2)
   }
 }
+
+class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.extract.SparkTestSession.spark
+
+  test("row-local signature twin is bit-identical to the column pipeline") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val fromColumns = graft.ops.Ops.minhashSigOf(docs).collect()
+      .map(r => r.getLong(0) -> (1 to graft.ops.Ops.MinhashK).map(i => r.getLong(i)).toSeq)
+      .toMap
+    val fromLocal = docs.as[(Long, String)].collect().flatMap { case (id, text) =>
+      graft.streaming.StreamingLsh.minhashSigLocal(text).map(sig => id -> sig.toSeq)
+    }.toMap
+    assert(fromColumns.keySet == fromLocal.keySet)
+    for ((id, sig) <- fromColumns) assert(fromLocal(id) == sig, s"doc $id")
+  }
+
+  test("prefix cap: members beyond the cap neither pair nor enter state") {
+    // 5 identical docs through a cap-2 stream: only the first 2 pair
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("slsh").toString
+    val text = (1 to 12).map(k => s"w$k").mkString(" ")
+    (0L until 5L).map(i => (i, text)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$base/src")
+    val q = graft.streaming.StreamingLsh.stream(
+      spark, s"$base/src", s"$base/out", s"$base/chk", maxBucketSize = 2)
+    q.awaitTermination()
+    val pairs = spark.read.parquet(s"$base/out")
+      .select($"id_a", $"id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
