@@ -654,25 +654,38 @@ object PdfDoc {
       else if (encryptedLocked) ""
       else {
         val own = streamOwner.get(st)
-        if (own == null) st.raw
+        // no owner entry in a decryptable document: degrade to empty like
+        // the locked path — returning st.raw would feed ciphertext into the
+        // filter chain
+        if (own == null) ""
         else new String(decryptorOpt.get.decrypt(own(0), own(1),
           st.raw.getBytes(ISO_8859_1)), ISO_8859_1)
       }
     }
 
-    private def lzwEarlyChange(dict: Map[String, P], derefFn: P => P): Int = {
-      val parms: Map[String, P] =
-        dict.get("DecodeParms").map(derefFn).orElse(dict.get("DP").map(derefFn)) match {
-          case Some(PDict(mm)) => mm
-          case Some(PArr(a)) =>
-            a.map(derefFn).collectFirst { case PDict(mm) => mm }.getOrElse(Map.empty)
-          case _ => Map.empty
-        }
+    /** The /DecodeParms entry for the filter at `idx` of the chain: ISO
+      * 32000-1 §7.3.8.2 pairs a Filter ARRAY with a DecodeParms ARRAY
+      * positionally (a lone dict applies to a single-name Filter). Taking
+      * the FIRST dict of the array regardless of position — the pre-round-6
+      * behavior — applied the wrong filter's parameters to chains like
+      * [FlateDecode(parms), LZWDecode(parms)]. */
+    private def parmsAt(dict: Map[String, P], idx: Int,
+                        derefFn: P => P): Map[String, P] =
+      dict.get("DecodeParms").map(derefFn).orElse(dict.get("DP").map(derefFn)) match {
+        case Some(PDict(mm)) => mm
+        case Some(PArr(a)) if idx < a.length =>
+          derefFn(a(idx)) match {
+            case PDict(mm) => mm
+            case _ => Map.empty
+          }
+        case _ => Map.empty
+      }
+
+    private def lzwEarlyChange(parms: Map[String, P], derefFn: P => P): Int =
       parms.get("EarlyChange").map(derefFn) match {
         case Some(PNum(v)) => v.toInt
         case _ => 1
       }
-    }
 
     /** Apply the /Filter chain in order. Unknown filters (DCTDecode and
       * friends) carry no text -> empty; predictors apply after Flate/LZW. */
@@ -684,15 +697,16 @@ object PdfDoc {
         case _ => Nil
       }
       if (filters.isEmpty) return raw
-      filters.foldLeft(Option(raw)) { (acc, f) =>
+      filters.zipWithIndex.foldLeft(Option(raw)) { case (acc, (f, idx)) =>
         acc.flatMap { data =>
           def bytes = data.getBytes(ISO_8859_1)
+          def parms = parmsAt(dict, idx, derefFn)
           f match {
             case "FlateDecode" | "Fl" =>
-              inflate(data).map(applyPredictor(dict, _))
+              inflate(data).map(applyPredictor(parms, _))
             case "LZWDecode" | "LZW" =>
-              Some(applyPredictor(dict, new String(
-                PdfFilters.lzwDecode(bytes, lzwEarlyChange(dict, derefFn)),
+              Some(applyPredictor(parms, new String(
+                PdfFilters.lzwDecode(bytes, lzwEarlyChange(parms, derefFn)),
                 ISO_8859_1)))
             case "RunLengthDecode" | "RL" =>
               Some(new String(PdfFilters.runLengthDecode(bytes), ISO_8859_1))
@@ -713,14 +727,10 @@ object PdfDoc {
     private def decodeStream(st: PStream): String =
       applyFilterChain(st.dict.v, rawOf(st), (p: P) => p)
 
-    /** /DecodeParms predictor pass (direct values only — xref/object streams
-      * write them inline). Identity when no predictor is declared. */
-    private def applyPredictor(dict: Map[String, P], data: String): String = {
-      val parms: Map[String, P] = dict.get("DecodeParms").orElse(dict.get("DP")) match {
-        case Some(PDict(m)) => m
-        case Some(PArr(a)) => a.collectFirst { case PDict(m) => m }.getOrElse(Map.empty)
-        case _ => Map.empty
-      }
+    /** /DecodeParms predictor pass over the filter's OWN parms dict (direct
+      * values only — xref/object streams write them inline). Identity when
+      * no predictor is declared. */
+    private def applyPredictor(parms: Map[String, P], data: String): String = {
       def intOf(k: String, dflt: Int): Int =
         parms.get(k).collect { case PNum(v) => v.toInt }.getOrElse(dflt)
       val pred = intOf("Predictor", 1)

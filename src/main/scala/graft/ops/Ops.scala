@@ -243,15 +243,61 @@ object Ops {
   def minhashA(j: Int): Long = 2L * j + 3
   def minhashB(j: Int): Long = 5L * j + 7
 
-  /** Unordered minhash signature core shared by q17/q18. */
-  /** MinHash signatures over any (doc_id, text) relation. */
-  def minhashSigOf(docs: DataFrame): DataFrame = {
-    val toks = ngrams3Of(docs)
-      .select($"doc_id", polyhash($"ng").as("h"))
-    val aggs = (0 until MinhashK).map { j =>
-      min(pmod(lit(minhashA(j)) * $"h" + lit(minhashB(j)), lit(MinhashP))).as(s"sig_$j")
+  /** Row-local distinct-trigram hash kernel (round 6). Every signature in
+    * the family (minhash, simhash 16/64) is a pure function of ONE
+    * document's text, yet the explode -> distinct -> groupBy(doc_id) shape
+    * paid TWO full-relation exchanges to compute it (guide §2.4: remove
+    * shuffles outright). One JVM pass per row replaces both. Bit-exact with
+    * the column shape: split keeps trailing empties (Spark split = limit
+    * -1), distinct is on the trigram STRING (a hash collision keeps its
+    * multiplicity, exactly like hashing after `.distinct()` on strings),
+    * and every fold is integer arithmetic. Returns null when the text has
+    * < 3 tokens (the column shape's filter produced no row). */
+  private[graft] def trigramHashes(text: String): Array[Long] = {
+    if (text == null) return null
+    val w = text.split(" ", -1)
+    if (w.length < 3) return null
+    val seen = new java.util.HashSet[String](math.min(w.length * 2, 1 << 16))
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(w.length - 2)
+    var i = 0
+    while (i + 2 < w.length) {
+      val ng = w(i) + " " + w(i + 1) + " " + w(i + 2)
+      if (seen.add(ng)) out += graft.functions.PolyHash.hashString(ng)
+      i += 1
     }
-    toks.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    out.result()
+  }
+
+  /** Unordered minhash signature core shared by q17/q18. */
+  /** MinHash signatures over any (doc_id, text) relation — row-local
+    * (zero exchanges; the explode shape cost two full-relation shuffles). */
+  def minhashSigOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val hs = trigramHashes(text)
+          if (hs == null) Iterator.empty
+          else {
+            val sig = Array.fill(MinhashK)(Long.MaxValue)
+            var x = 0
+            while (x < hs.length) {
+              val h = hs(x)
+              var j = 0
+              while (j < MinhashK) {
+                val v = (minhashA(j) * h + minhashB(j)) % MinhashP // h >= 0: % == pmod
+                if (v < sig(j)) sig(j) = v
+                j += 1
+              }
+              x += 1
+            }
+            Iterator.single((id, sig(0), sig(1), sig(2), sig(3), sig(4), sig(5), sig(6), sig(7)))
+          }
+        }
+      }
+      .toDF(("doc_id" +: (0 until MinhashK).map(j => s"sig_$j")): _*)
   }
 
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
@@ -305,18 +351,41 @@ object Ops {
 
   val SimhashBits = 16
 
-  /** Unordered simhash core shared by q19/q20. */
+  /** Unordered simhash core shared by q19/q20 — row-local (round 6): the
+    * per-bit +-1 vote over a doc's distinct trigram hashes is a one-pass
+    * fold per row; vote_j > 0 <=> 2*ones_j > n. Zero exchanges where the
+    * explode shape had two. */
   private def simhashCore(s: SparkSession, dir: String): DataFrame = {
-    val toks = ngrams3(s, dir)
-      .select($"doc_id", polyhash($"ng").as("h"))
-    val votes = (0 until SimhashBits).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v_$j")
-    }
-    val voted = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until SimhashBits).map { j =>
-      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select($"doc_id", sim.as("simhash"))
+    import s.implicits._
+    documents(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val hs = trigramHashes(text)
+          if (hs == null) Iterator.empty
+          else {
+            val ones = new Array[Int](SimhashBits)
+            var x = 0
+            while (x < hs.length) {
+              val h = hs(x)
+              var j = 0
+              while (j < SimhashBits) {
+                ones(j) += ((h >> j) & 1L).toInt
+                j += 1
+              }
+              x += 1
+            }
+            var sim = 0L
+            var j = 0
+            while (j < SimhashBits) {
+              if (2L * ones(j) > hs.length) sim |= 1L << j
+              j += 1
+            }
+            Iterator.single((id, sim))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash over distinct word-3-gram shingle hashes (16-bit for oracle
@@ -345,11 +414,13 @@ object Ops {
     val chunkCols = (0 until nChunks).map { c =>
       shiftright(hashCol, c * width).bitwiseAND(lit(mask))
     }
-    // materialize the signature relation (one row per doc) before the
-    // self-join: both join sides would otherwise recompute the full
-    // trigram-explode + vote aggregation — the dominant cost of the query
-    val shM = sh.localCheckpoint()
-    val chunksAll = shM.select(col("doc_id"), hashCol.as("sh"),
+    // round 6: the signature relation is row-local (zero exchanges), so the
+    // eager localCheckpoint that round 5 used to avoid recomputing the
+    // trigram-explode + vote aggregation is gone. At scale the chunk
+    // self-join is a shuffle join and ReusedExchange runs the signature
+    // subtree once; at small SF the planner broadcasts one side and the
+    // cheap row-local map runs twice — exactly when that is affordable.
+    val chunksAll = sh.select(col("doc_id"), hashCol.as("sh"),
         posexplode(array(chunkCols: _*)))
       .toDF("doc_id", "sh", "chunk", "cval")
     // same web-scale guard as minhashLshPairsOf: a template-heavy corpus
@@ -420,10 +491,16 @@ object Ops {
     * sin(p*64+i), whose libm results are not portable to the oracle. */
   def q23CosineLshTopK(s: SparkSession, dir: String, planes: Int = 6, k: Int = 5): DataFrame = {
     val v = vecsD(s, dir).withColumn("nrm", nrmCol)
+    // round 6: the hyperplane components are plan-time constants (the LCG
+    // over (plane, dim), every value an exact small integer cast to double),
+    // so each plane projection is a literal-vector dot product through the
+    // codegen'd VecMath kernel — same left-to-right IEEE fold as the
+    // interpreted aggregate(zip_with(...)) it replaces (guide §4)
     val sigCols = (0 until planes).map { p =>
-      val dot = expr(s"aggregate(zip_with(v, sequence(0, 63), (a, i) -> " +
-        s"a * CAST((CAST(1103515245 AS BIGINT) * ($p * 64 + i + 1) + 12345) % 1024 - 512 AS DOUBLE)), " +
-        s"0D, (s, e) -> s + e)")
+      val plane = (0 until 64).map { i =>
+        ((1103515245L * (p * 64 + i + 1) + 12345L) % 1024 - 512).toDouble
+      }
+      val dot = graft.functions.VecMath.dotProduct(col("v"), typedLit(plane))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     // cached: both self-join sides read the signed projection — one pruned
@@ -762,15 +839,20 @@ object Ops {
     "ro" -> "aseară am vizitat împreună cu vechii noștri prieteni un restaurant nou și frumos în centrul orașului")
 
   def q65NgramLangId(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits.newLongEncoder
     val codes = LangNgramTests.keys.toSeq.sorted
-    documents(s, dir).select(col("doc_id")).as[Long]
-      .map { id =>
-        val expected = codes((id % 5).toInt)
-        val predicted = charTrigramLangId(LangNgramTests(expected))
-        (id, expected, predicted, expected == predicted)
-      }(org.apache.spark.sql.Encoders.product[(Long, String, String, Boolean)])
-      .toDF("doc_id", "expected", "predicted", "correct")
+    // round 6: the 5 test sentences are embedded constants, so classify each
+    // ONCE at plan-build time instead of re-running the trigram cosine for
+    // every row (the round-5 shape paid charTrigramLangId per document).
+    // The per-row work is then a pure codegen projection over doc_id; the
+    // classifier itself is unchanged and still exercised (same 5 inputs,
+    // same outputs, oracle-identical rows).
+    val preds = codes.map(c => charTrigramLangId(LangNgramTests(c)))
+    val idx = pmod(col("doc_id"), lit(5)).cast("int") + 1 // doc_id >= 0: == (id % 5)
+    val expectedC = element_at(typedLit(codes), idx)
+    val predictedC = element_at(typedLit(preds), idx)
+    documents(s, dir)
+      .select(col("doc_id"), expectedC.as("expected"), predictedC.as("predicted"),
+        (expectedC === predictedC).as("correct"))
       .orderBy(col("doc_id"))
   }
 
@@ -788,8 +870,10 @@ object Ops {
     documents(s, dir)
       .select($"doc_id",
         size(split($"text", " ")).as("ws_tokens"),
-        size(regexp_extract_all($"text", lit(BpeTokenRegex), lit(0)))
-          .as("bpe_tokens"),
+        // regexp_count: same non-overlapping match count as
+        // size(regexp_extract_all(..)) without materializing every match
+        // string into an array first (round 6, guide §4)
+        regexp_count($"text", lit(BpeTokenRegex)).as("bpe_tokens"),
         length($"text").as("n_chars"))
       .withColumn("bpe_per_ws",
         round($"bpe_tokens".cast("double") / $"ws_tokens", 6))
@@ -919,40 +1003,50 @@ object Ops {
   def q28Simhash64(s: SparkSession, dir: String): DataFrame =
     simhash64Core(s, dir).orderBy($"doc_id")
 
+  /** Row-local 64-bit simhash (round 6): per doc, 4 derived views of each
+    * distinct trigram hash contribute 16 bits each; bit b is set iff
+    * 2*ones_b > n. The round-4/5 shape aggregated 24 packed 21-bit vote
+    * lanes through a full-relation groupBy exchange (plus the distinct
+    * exchange feeding it) and needed a >2^21-trigram overflow guard; the
+    * per-row int-counter fold has neither the exchanges nor the overflow
+    * bound (counts are plain per-doc ints), and computes identical values. */
   private def simhash64Core(s: SparkSession, dir: String): DataFrame = {
-    val toks = ngrams3(s, dir).select($"doc_id", polyhash($"ng").as("h"))
-    val views = (0 until 4).map { k =>
-      pmod(lit(2L * k + 3) * $"h" + lit(7L * k + 11), lit(MinhashP))
-    }
-    // packed vote lanes: instead of 64 sum(+-1) agg columns, each token
-    // contributes 3 bits per packed long (lanes at shifts 0/21/42), so the
-    // agg is 24 sums + a count. Per bit b: ones-count c_b rides lane
-    // (b%16)%3 of sum s_{b/16,(b%16)/3}; the +-1 vote is v_b = 2*c_b - n, so
-    // the simhash bit is set iff 2*c_b > n — identical semantics, ~3x fewer
-    // agg columns. Overflow safety (Spark 4 runs ANSI: a signed-long
-    // overflow THROWS, it does not wrap): lane counts <= n, and the max
-    // packed value (2^21-1)*(2^42+2^21+1) = 2^63-1 fits exactly, so sums
-    // are safe for any doc with < 2^21 distinct trigrams; beyond that the
-    // guard raises a labeled error (the fix at that scale is a two-level
-    // agg: pre-sum per (doc_id, salt)).
-    val groups = 6 // ceil(16 bits per view / 3 lanes)
-    val packed = for (k <- 0 until 4; g <- 0 until groups) yield
-      (0 until 3).filter(i => g * 3 + i < 16).map { i =>
-        shiftleft(shiftright(views(k), g * 3 + i).bitwiseAND(lit(1L)), 21 * i)
-      }.reduce(_ + _)
-    val sums = (for (k <- 0 until 4; g <- 0 until groups) yield
-      sum(packed(k * groups + g)).as(s"s_${k}_$g")) :+ count(lit(1)).as("n")
-    val voted = toks.groupBy($"doc_id").agg(sums.head, sums.tail: _*)
-    val sim = (0 until 64).map { b =>
-      val k = b / 16; val j = b % 16; val g = j / 3; val i = j % 3
-      val c = shiftright(col(s"s_${k}_$g"), 21 * i).bitwiseAND(lit(0x1FFFFFL))
-      when(c * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select($"doc_id",
-      when(col("n") > 2097151L, raise_error(concat(lit("simhash64: doc "), $"doc_id",
-        lit(" has >2097151 distinct trigrams; packed 21-bit vote lanes would overflow")))
-        .cast("long"))
-        .otherwise(sim).as("simhash64"))
+    import s.implicits._
+    documents(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val hs = trigramHashes(text)
+          if (hs == null) Iterator.empty
+          else {
+            val ones = new Array[Int](64)
+            var x = 0
+            while (x < hs.length) {
+              val h = hs(x)
+              var k = 0
+              while (k < 4) {
+                // floorMod matches pmod; (2k+3)*h + (7k+11) < 2^34: no overflow
+                val view = java.lang.Math.floorMod((2L * k + 3) * h + (7L * k + 11), MinhashP)
+                var j = 0
+                while (j < 16) {
+                  ones(k * 16 + j) += ((view >> j) & 1L).toInt
+                  j += 1
+                }
+                k += 1
+              }
+              x += 1
+            }
+            var sim = 0L
+            var b = 0
+            while (b < 64) {
+              if (2L * ones(b) > hs.length) sim |= 1L << b
+              b += 1
+            }
+            Iterator.single((id, sim))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash64")
   }
 
   /** Near-duplicate connected components (q47): the dedup keeper-selection

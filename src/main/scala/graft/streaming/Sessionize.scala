@@ -85,8 +85,11 @@ object Sessionize {
         val t = micros(e.ts)
         cur match {
           case Some(s) if t - s.lastUs <= gapUs =>
-            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, t), s.n + 1,
-              s.sum + e.value))
+            // a late cross-batch event may precede the open session's start:
+            // extend startUs backwards too, so session_start == min(ts) like
+            // the batch twin
+            cur = Some(OpenSession(math.min(s.startUs, t), math.max(s.lastUs, t),
+              s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed += emit(s)
             cur = Some(OpenSession(t, t, 1, e.value))

@@ -29,7 +29,9 @@ object StreamingLsh {
     * None when the text has fewer than 3 tokens (no shingle, no signature —
     * same as the batch groupBy producing no row). */
   def minhashSigLocal(text: String): Option[Array[Long]] = {
-    val w = text.split(" ")
+    // limit -1 keeps trailing empty tokens, matching Spark's split(col, " ")
+    // (a plain String.split(" ") drops them and diverges on trailing spaces)
+    val w = text.split(" ", -1)
     if (w.length < 3) return None
     val seen = scala.collection.mutable.HashSet.empty[String]
     val sig = Array.fill(Ops.MinhashK)(Long.MaxValue)

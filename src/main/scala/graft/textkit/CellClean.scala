@@ -40,11 +40,32 @@ object CellClean {
   private val DigitsOnlyAllPattern = re("[\\d\\s./-]+")
 
   /** table_fixes.py:59-60 */
-  def isNumericish(text: String): Boolean =
-    fullMatch(NumericishFull, text.toUpperCase(java.util.Locale.ROOT))
+  def isNumericish(text: String): Boolean = {
+    // ASCII fast path: for pure-ASCII input the uppercase+regex decision
+    // reduces to a per-char class check (uppercasing ASCII stays ASCII, and
+    // \s under UNICODE_CHARACTER_CLASS intersected with ASCII is exactly
+    // {\t \n  \f \r ' '}); any non-ASCII char falls back to the regex
+    val n = text.length
+    var i = 0
+    var ok = n > 0
+    while (ok && i < n) {
+      val c = text.charAt(i)
+      if (c >= 128) {
+        return fullMatch(NumericishFull, text.toUpperCase(java.util.Locale.ROOT))
+      }
+      ok = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        c == '.' || c == ',' || c == '(' || c == ')' || c == '%' || c == '+' ||
+        c == '-' || c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      i += 1
+    }
+    ok
+  }
 
   /** table_fixes.py:67-82 — (currency?, numberToken) or None. */
   def extractCurrencyNumber(text: String): Option[(Option[String], String)] = {
+    // no digit -> every NumberToken match fails digitsOnly -> None
+    if (!anyDigit(text)) return None
     val normalized = joinSplit(text)
     val currencies = findAllGroup1(CurrencyToken, normalized).toSet
     val numbers = findAll(NumberToken, normalized).filter(n => digitsOnly(n).nonEmpty)
@@ -104,6 +125,13 @@ object CellClean {
 
   /** table_fixes.py:138-154 */
   def stripTrailingCurrencyFragment(text: String): String = {
+    // tokens.last ends with the last non-space char; {R,E,N,ON} all end in
+    // R/E/N, so anything else exits before tokenizing
+    var k = text.length - 1
+    while (k >= 0 && text.charAt(k) <= ' ') k -= 1
+    if (k < 0) return text
+    val lc = text.charAt(k)
+    if (lc != 'R' && lc != 'E' && lc != 'N') return text
     val tokens = split(text)
     if (tokens.length < 3) return text
     val lastTok = tokens.last
@@ -118,9 +146,15 @@ object CellClean {
     tokens.dropRight(1).mkString(" ")
   }
 
+  // the anchored currency patterns all require a literal RON or EUR; a cell
+  // with neither an 'R' nor an 'E' cannot match any of them
+  private def hasCurrencyLetter(text: String): Boolean =
+    text.indexOf('R') >= 0 || text.indexOf('E') >= 0
+
   /** table_fixes.py:157-165 */
   def stripCurrencyPrefixDup(text: String): String =
-    matchAt(CurrencyPrefixDup, text) match {
+    if (!hasCurrencyLetter(text)) text
+    else matchAt(CurrencyPrefixDup, text) match {
       case Some(m) if m.end == text.length =>
         val prefix = digitsOnly(m.group(1))
         val value = digitsOnly(m.group(3))
@@ -130,13 +164,15 @@ object CellClean {
 
   /** table_fixes.py:168-172 */
   def stripCurrencyTrailingShortToken(text: String): String =
-    matchAt(CurrencyTrailingShort, text) match {
+    if (!hasCurrencyLetter(text)) text
+    else matchAt(CurrencyTrailingShort, text) match {
       case Some(m) => s"${m.group(2)} ${m.group(1)}"
       case None => text
     }
 
   /** table_fixes.py:175-185 */
   def stripDuplicateCurrencySuffix(text: String): String = {
+    if (!hasCurrencyLetter(text)) return text
     val tokens = split(text)
     if (tokens.length < 3) return text
     if (tokens(0) != "RON" && tokens(0) != "EUR") return text
@@ -152,6 +188,11 @@ object CellClean {
   /** table_fixes.py:188-195 */
   def compactNumberSpacing(text: String): String = {
     if (!isNumericish(text)) return text
+    // every sub needs a \s and strip only removes edge whitespace: a
+    // whitespace-free string is unchanged (isWhitespace || isSpaceChar is a
+    // superset of both the regexes' \s and String.strip's set)
+    if (!text.exists(c => Character.isWhitespace(c) || Character.isSpaceChar(c)))
+      return text
     var compacted = sub(DigitSpDigit, "", text)
     compacted = sub(DigitSpPunct, "", compacted)
     compacted = sub(PunctSpDigit, "", compacted)
@@ -161,14 +202,17 @@ object CellClean {
 
   /** table_fixes.py:198-202 */
   def normalizeCurrencySuffix(text: String): String =
-    matchAt(CurrencySuffix, text) match {
+    if (!hasCurrencyLetter(text)) text
+    else matchAt(CurrencySuffix, text) match {
       case Some(m) => s"${m.group(2)} ${m.group(1)}"
       case None => text
     }
 
   /** table_fixes.py:205-211 */
   def fixMissingCurrencyLetter(text: String): String =
-    matchAt(CurrencyMissingR, text) match {
+    // both branches need a literal "ON" or "RO" — no 'O', no match
+    if (text.indexOf('O') < 0) text
+    else matchAt(CurrencyMissingR, text) match {
       case Some(m) => s"RON ${m.group(1)}"
       case None =>
         if (isNumericish(text) && hasMatch(CurrencyRoToken, text) && !text.contains("RON"))
@@ -178,6 +222,7 @@ object CellClean {
 
   /** table_fixes.py:214-236 */
   def dedupeRepeatedCurrencyValue(text: String): String = {
+    if (!hasCurrencyLetter(text)) return text
     matchAt(CurrencyRepeatPrefix, text).foreach { m =>
       return s"${m.group(1)} ${m.group(2)}"
     }
@@ -204,6 +249,7 @@ object CellClean {
 
   /** table_fixes.py:239-253 — keep 4-digit-year longest date. */
   def dedupeDatesInCell(text: String): String = {
+    if (!anyDigit(text)) return text // a date match needs digits
     val dates = findAll(DatePattern, text)
     if (dates.length < 2) return text
     if (anyAlpha(text)) return text
@@ -306,16 +352,27 @@ object CellClean {
     if (text == null || text.isEmpty) return text
     var cleaned = normalizeMojibakeText(text)
     cleaned = normalizeLigatures(cleaned).strip()
-    if (fullMatch(DeltaPercent, cleaned)) return "Δ%"
-    cleaned = sub(DupPercent, "$1%", cleaned)
-    cleaned = sub(SpacedPercent, "$1%", cleaned)
-    cleaned = sub(NegativeSpace, "-", cleaned)
-    cleaned = sub(DupGroup, "$1$2", cleaned)
-    cleaned = subFn(LeadingGroup, cleaned)(mergeLeadingGroup)
+    // guards (round 6): each regex step runs only when the characters its
+    // pattern literally requires are present — provably identical output,
+    // and a typical already-clean cell skips most of the chain
+    if (cleaned.nonEmpty) {
+      val c0 = cleaned.charAt(0)
+      if ((c0 == 'ƒ' || c0 == '∆' || c0 == 'Δ') && fullMatch(DeltaPercent, cleaned))
+        return "Δ%"
+    }
+    if (cleaned.indexOf('%') >= 0) {
+      cleaned = sub(DupPercent, "$1%", cleaned)
+      cleaned = sub(SpacedPercent, "$1%", cleaned)
+    }
+    if (cleaned.indexOf('-') >= 0) cleaned = sub(NegativeSpace, "-", cleaned)
+    if (cleaned.indexOf('.') >= 0 && anyDigit(cleaned)) {
+      cleaned = sub(DupGroup, "$1$2", cleaned)
+      cleaned = subFn(LeadingGroup, cleaned)(mergeLeadingGroup)
+    }
     cleaned = joinSplit(cleaned)
     if (anyDigit(cleaned)) cleaned = stripChars(cleaned, "[]")
     cleaned = compactNumberSpacing(cleaned)
-    if (isNumericish(cleaned)) {
+    if ((cleaned.indexOf('(') >= 0 || cleaned.indexOf(')') >= 0) && isNumericish(cleaned)) {
       cleaned = sub(ParensSpaceOpen, "(", cleaned)
       cleaned = sub(ParensSpaceClose, ")", cleaned)
     }

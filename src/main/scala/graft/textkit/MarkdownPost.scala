@@ -26,8 +26,35 @@ object MarkdownPost {
   private val AxisWordToken = re("[A-Za-z0-9%]+")
   private val BlockSplit = re("\\n{2,}")
 
-  private def stripPageMarkers(markdown: String): String =
-    sub(PageMarkerPattern, "", markdown)
+  /** replaceAll(PageMarkerPattern, "") without running the alternation at
+    * every position: a marker can only start at "<!--", "[//]" or "**", so
+    * scan for those literals and try the regex only there (round 6 — this
+    * pass ran the case-insensitive alternation over the whole document). */
+  private def stripPageMarkers(markdown: String): String = {
+    val n = markdown.length
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    var i = 0
+    val m = PageMarkerPattern.matcher(markdown)
+    while (i < n) {
+      val c = markdown.charAt(i)
+      val candidate =
+        (c == '<' && markdown.startsWith("<!--", i)) ||
+          (c == '[' && markdown.startsWith("[//]", i)) ||
+          (c == '*' && i + 1 < n && markdown.charAt(i + 1) == '*')
+      if (candidate) {
+        m.region(i, n)
+        if (m.lookingAt()) {
+          if (sb == null) sb = new java.lang.StringBuilder(n)
+          sb.append(markdown, last, i)
+          last = m.end
+          i = m.end
+        } else i += 1
+      } else i += 1
+    }
+    if (sb == null) markdown
+    else { sb.append(markdown, last, n); sb.toString }
+  }
 
   private def normalizeHeading(text: String): String =
     joinSplit(text).toLowerCase(Locale.ROOT)
@@ -65,9 +92,8 @@ object MarkdownPost {
       var done = false
       for (line <- splitLines(part) if !done) {
         val s = line.strip()
-        if (s.nonEmpty && !fullMatchLookingAt(ImagePlaceholderPattern, s) &&
-            !lookingAt(PageMarkerPattern, s)) {
-          heading = matchAt(HeadingPattern, s).map(_.group(2))
+        if (s.nonEmpty && !maybeImagePlaceholder(s) && !maybePageMarker(s)) {
+          heading = headingMatch(s).map(_.group(2))
           done = true
         }
       }
@@ -96,10 +122,10 @@ object MarkdownPost {
       for (line <- splitLines(part)) {
         val s = line.strip()
         var emit = true
-        if (removeImagePlaceholders && fullMatchLookingAt(ImagePlaceholderPattern, s)) emit = false
+        if (removeImagePlaceholders && maybeImagePlaceholder(s)) emit = false
         else if (!removedHeading && headingOpt.nonEmpty && headingKey.exists(frequent.contains) &&
                  s.nonEmpty) {
-          matchAt(HeadingPattern, s) match {
+          headingMatch(s) match {
             case Some(m) if normalizeHeading(m.group(2)) == headingKey.get =>
               if (keptOnce.contains(headingKey.get)) { removedHeading = true; emit = false }
               else keptOnce += headingKey.get
@@ -120,11 +146,29 @@ object MarkdownPost {
   private def fullMatchLookingAt(p: java.util.regex.Pattern, s: String): Boolean =
     p.matcher(s).lookingAt()
 
+  // first-char guards (round 6): every alternative of PageMarkerPattern
+  // starts with a literal '<', '[' or '*'; ImagePlaceholderPattern starts
+  // with \s* then '<' (c < '!' / c > '~' conservatively covers every
+  // possible \s char); HeadingPattern starts with a literal '#'. A plain
+  // text line skips all three regexes on one char compare.
+  private def maybePageMarker(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c = s.charAt(0)
+    (c == '<' || c == '[' || c == '*') && lookingAt(PageMarkerPattern, s)
+  }
+  private def maybeImagePlaceholder(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c = s.charAt(0)
+    (c == '<' || c < '!' || c > '~') && fullMatchLookingAt(ImagePlaceholderPattern, s)
+  }
+  private def headingMatch(s: String): Option[java.util.regex.Matcher] =
+    if (s.isEmpty || s.charAt(0) != '#') None else matchAt(HeadingPattern, s)
+
   /** export_utils.py:169-182 */
   def isKpiLabel(text: String): Boolean = {
     val stripped = text.strip()
     if (stripped.isEmpty || stripped.contains("\n")) return false
-    if (lookingAt(HeadingPattern, stripped)) return false
+    if (stripped.charAt(0) == '#' && lookingAt(HeadingPattern, stripped)) return false
     val words = split(stripped)
     if (words.length > 5) return false
     val letters = stripped.filter(Character.isLetter)
@@ -147,9 +191,9 @@ object MarkdownPost {
   def isHeadingLikeLine(text: String): Boolean = {
     val stripped = text.strip()
     if (stripped.isEmpty) return false
-    if (lookingAt(HeadingPattern, stripped)) return false
-    if (lookingAt(PageMarkerPattern, stripped)) return false
-    if (lookingAt(ImagePlaceholderPattern, stripped)) return false
+    if (stripped.charAt(0) == '#' && lookingAt(HeadingPattern, stripped)) return false
+    if (maybePageMarker(stripped)) return false
+    if (maybeImagePlaceholder(stripped)) return false
     if (anyDigit(stripped)) return false
     if (stripped.length > 120) return false
     if (Seq(".", "!", "?", ";", ":").exists(stripped.endsWith)) return false
@@ -206,6 +250,7 @@ object MarkdownPost {
   def isAxisLikeLine(text: String): Boolean = {
     val stripped = text.strip()
     if (stripped.isEmpty || stripped.length > 40) return false
+    if (!anyDigit(stripped)) return false // numericTokens == 0 -> false on every path
     if (!lookingAt(AxisAllowedPattern, stripped)) return false
     val tokens = findAll(AxisWordToken, stripped)
     if (tokens.isEmpty || tokens.length > 6) return false
@@ -230,9 +275,9 @@ object MarkdownPost {
         val s = line.strip()
         val keep =
           if (s.isEmpty) true
-          else if (lookingAt(PageMarkerPattern, s)) true
-          else if (lookingAt(ImagePlaceholderPattern, s)) true
-          else if (lookingAt(HeadingPattern, s)) true
+          else if (maybePageMarker(s)) true
+          else if (maybeImagePlaceholder(s)) true
+          else if (s.charAt(0) == '#' && lookingAt(HeadingPattern, s)) true
           else if (s.contains("|")) true
           else !isAxisLikeLine(s)
         if (keep) linesOut += line
@@ -257,8 +302,7 @@ object MarkdownPost {
       while (pi < rawParts.length) {
         for (line <- splitLines(rawParts(pi))) {
           val s = line.strip()
-          if (s.nonEmpty && !lookingAt(PageMarkerPattern, s) &&
-              !lookingAt(ImagePlaceholderPattern, s)) return Some(s)
+          if (s.nonEmpty && !maybePageMarker(s) && !maybeImagePlaceholder(s)) return Some(s)
         }
         pi += 1
       }
@@ -277,7 +321,7 @@ object MarkdownPost {
       if (lastIdx == -1) part
       else {
         val stripped = lines(lastIdx).strip()
-        matchAt(HeadingPattern, stripped) match {
+        headingMatch(stripped) match {
           case Some(m) =>
             val headingLevel = m.group(1).length
             nextMeaningfulLine(idx + 1) match {
@@ -285,7 +329,7 @@ object MarkdownPost {
                 lines(lastIdx) = ""
                 part = lines.mkString("\n").replaceAll("\\s+$", "")
               case Some(nextLine) =>
-                val nextMatch = matchAt(HeadingPattern, nextLine)
+                val nextMatch = headingMatch(nextLine)
                 val superseding = nextMatch.exists(_.group(1).length <= headingLevel)
                 if (superseding || isHeadingLikeLine(nextLine)) {
                   lines(lastIdx) = ""

@@ -22,12 +22,44 @@ object Py {
   def reI(pattern: String): Pattern =
     re(pattern, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
 
-  /** Python str.split() with no argument. */
-  def split(s: String): Array[String] =
-    s.split("\\s+").filter(_.nonEmpty)
+  // ASCII \s of the former `s.split("\\s+")` (String.split compiled the
+  // pattern per call — a measured hot spot in the cell-clean chain)
+  private def isSplitWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** Python `" ".join(s.split())`. */
-  def joinSplit(s: String): String = split(s).mkString(" ")
+  /** Python str.split() with no argument. Hand-rolled scanner — identical
+    * output to `s.split("\\s+").filter(_.nonEmpty)` without the per-call
+    * Pattern.compile + intermediate array. */
+  def split(s: String): Array[String] = {
+    val n = s.length
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      while (i < n && isSplitWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isSplitWs(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.result()
+  }
+
+  /** Python `" ".join(s.split())`. Fast path: a string already in canonical
+    * form (no leading/trailing separator, single ' ' between tokens) is
+    * returned unchanged without allocating the token array. */
+  def joinSplit(s: String): String = {
+    val n = s.length
+    var i = 0
+    var canonical = n == 0 || !isSplitWs(s.charAt(0))
+    var prevWs = false
+    while (canonical && i < n) {
+      val ws = isSplitWs(s.charAt(i))
+      if (ws && (prevWs || s.charAt(i) != ' ')) canonical = false
+      prevWs = ws
+      i += 1
+    }
+    if (canonical && prevWs) canonical = false // trailing separator
+    if (canonical) s else split(s).mkString(" ")
+  }
 
   /** Python str.strip(chars): strip any leading/trailing chars in set. */
   def stripChars(s: String, chars: String): String = {

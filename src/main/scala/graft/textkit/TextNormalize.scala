@@ -22,12 +22,16 @@ object TextNormalize {
   /** text_normalize.py:16-26 */
   def mojibakeScore(text: String): Int = {
     var score = 0
-    for (ch <- text) {
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
       val code = ch.toInt
       if (code >= 0x80 && code <= 0x9F) score += 3
       else if (code >= 0xC0 && code <= 0xFF && !AllowedLatin1.contains(ch)) score += 1
+      if (ch == '�') score += 4
+      i += 1
     }
-    score + text.count(_ == '�') * 4
+    score
   }
 
   private def romanianDiacriticCount(text: String): Int =
@@ -84,6 +88,16 @@ object TextNormalize {
   /** text_normalize.py:67-74 */
   def normalizeLigatures(text: String): String = {
     if (text == null || text.isEmpty) return text
+    // one scan instead of five contains() passes: every mapped ligature is
+    // in U+FB00..FB04, so text without a char in that range is unchanged
+    var i = 0
+    var hasLig = false
+    while (!hasLig && i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 'ﬀ' && c <= 'ﬄ') hasLig = true
+      i += 1
+    }
+    if (!hasLig) return text
     var out = text
     for ((k, v) <- LigatureMap) if (out.contains(k)) out = out.replace(k, v)
     out

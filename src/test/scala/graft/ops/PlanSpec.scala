@@ -42,17 +42,30 @@ class PlanSpec extends AnyFunSuite {
     assert(codegenProject.findFirstIn(p).nonEmpty, p.take(1500))
   }
 
-  test("q18 band explode runs the signature pipeline once (single scan per side)") {
-    val df = Ops.q18MinhashLshPairs(spark, sf)
-    df.collect() // finalize the adaptive plan
-    // AQE's toString appends the pre-adaptive "Initial Plan" — count scans
-    // only in the final executed plan
-    val p = plan(df).split("== Initial Plan ==").head
-    // the signature pipeline must run once: one FileScan, the other join
-    // side fed by a ReusedExchange (round 1's unionAll shape had 4 chains)
-    val scans = "FileScan parquet".r.findAllIn(p).length
-    assert(scans <= 2, s"q18 recomputes the signature pipeline: $scans scans")
-    assert(p.contains("ReusedExchange"), "expected the map-side exchange to be reused")
+  test("q18 signatures are row-local; the at-scale band join shares ONE pipeline run") {
+    // round 6: signatures are computed row-locally (zero exchanges below the
+    // band join — the round-5 shape shuffled the full corpus trigram relation
+    // twice before bands even formed). At 100TB the self-join is a shuffle
+    // join; pin that shape (broadcast off) and that the whole signature
+    // subtree runs ONCE, the second side fed by a ReusedExchange. (At small
+    // SF the planner broadcasts one side instead — recomputing the cheap
+    // row-local map exactly when it is affordable.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Ops.q18MinhashLshPairs(spark, sf)
+      df.collect() // finalize the adaptive plan
+      // AQE's toString appends the pre-adaptive "Initial Plan" — count scans
+      // only in the final executed plan
+      val p = plan(df).split("== Initial Plan ==").head
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans <= 1, s"q18 recomputes the signature pipeline: $scans scans")
+      assert(p.contains("ReusedExchange"), "expected the band exchange to be reused")
+      // no full-relation exchange below the band join: the only hash
+      // exchanges are on the band key itself (plus the final distinct)
+      assert(!p.contains("hashpartitioning(doc_id"),
+        "unexpected per-doc exchange below the band join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q20 simhash pairs use a chunk equi-join, not a nested-loop cross join") {
