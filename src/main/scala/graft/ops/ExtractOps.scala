@@ -164,7 +164,11 @@ object ExtractOps {
       .toDF("url", "html", "text", "lang")
       .cache() // feeds both the extract input and the src-text join side
     val coveredU = coveredUdf
-    Pipeline.extract(s, pages, numBuckets = 16)
+    // scale-adaptive parse parallelism (round 6): 16 buckets capped the
+    // parse stage at 16 tasks on a 32-core session; the bucket column is
+    // dropped from the output, so the result is bucket-count-independent
+    Pipeline.extract(s, pages,
+        numBuckets = math.max(16, s.sparkContext.defaultParallelism))
       .toDF()
       .join(pages.select($"url", $"text".as("src_text")), "url")
       .select($"url", $"page_count", $"item_count", $"table_count",

@@ -62,26 +62,37 @@ object StreamingLsh {
       bandKey: String, docs: Iterator[BandedDoc],
       state: GroupState[Seq[Long]]): Iterator[CandidatePair] = {
     var members = state.getOption.getOrElse(Seq.empty)
+    // O(1) membership: the Seq state probed with `contains` was O(n) per
+    // arrival — quadratic in a hot bucket (round-6 hardening; the batch
+    // operator hit the same wall in round 4)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    seen ++= members
     val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
     // deterministic within-batch order; arrival order across batches rides
     // the source file order as usual
-    for (d <- docs.toArray.sortBy(_.doc_id) if !members.contains(d.doc_id)) {
+    for (d <- docs.toArray.sortBy(_.doc_id) if !seen.contains(d.doc_id)) {
       if (members.size < maxBucketSize) {
         for (m <- members)
           out += CandidatePair(math.min(m, d.doc_id), math.max(m, d.doc_id))
         members = members :+ d.doc_id
+        seen += d.doc_id
       } // beyond the cap: neither pairs nor joins state (prefix cap)
     }
     state.update(members)
     out.iterator
   }
 
+  /** The production default bucket cap — the batch chain's value
+    * (Ops.dedupChain): a saturated band bucket on a template-heavy feed
+    * would otherwise grow state without bound and pair quadratically. */
+  val DefaultMaxBucketSize = 512
+
   /** Start the streaming pair emitter over parquet (doc_id, text) files.
     * Emitted pairs may repeat across bands/batches — candidates are a SET
     * (the batch operator distincts too); consumers dedup on read. */
   def stream(spark: SparkSession, sourceDir: String, outDir: String,
              checkpointDir: String,
-             maxBucketSize: Int = Int.MaxValue): StreamingQuery = {
+             maxBucketSize: Int = DefaultMaxBucketSize): StreamingQuery = {
     import spark.implicits._
     val schema = spark.read.parquet(sourceDir).schema
     val pairs: Dataset[CandidatePair] = spark.readStream

@@ -382,4 +382,30 @@ class StreamingLshSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("production default cap is the batch chain's 512; re-arrivals do not re-pair") {
+    import spark.implicits._
+    assert(graft.streaming.StreamingLsh.DefaultMaxBucketSize == 512)
+    val base = java.nio.file.Files.createTempDirectory("slsh-re").toString
+    val text = (1 to 12).map(k => s"re$k").mkString(" ")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    def writeOne(ids: Seq[Long], name: String): Unit = {
+      val tmp = s"$base/tmp-$name"
+      ids.map(i => (i, text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$base/src/$name.parquet"))
+    }
+    writeOne(Seq(0L, 1L), "a")
+    writeOne(Seq(0L, 2L), "b") // doc 0 re-arrives in a later batch
+    val q = graft.streaming.StreamingLsh.stream(
+      spark, s"$base/src", s"$base/out", s"$base/chk")
+    q.awaitTermination()
+    val pairs = spark.read.parquet(s"$base/out")
+      .select($"id_a", $"id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 0 pairs once with each distinct member; its re-arrival adds nothing
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
 }
