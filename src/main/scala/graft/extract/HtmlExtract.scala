@@ -262,6 +262,23 @@ object HtmlExtract {
     out
   }
 
+  /** class-attribute token test without the per-call regex split: tokens
+    * are runs between ASCII whitespace, matching `split("\\s+")`. */
+  private def hasClassToken(cls: String, token: String): Boolean = {
+    val n = cls.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isAsciiWs(cls.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isAsciiWs(cls.charAt(i))) i += 1
+      if (i - start == token.length && cls.regionMatches(start, token, 0, token.length))
+        return true
+    }
+    false
+  }
+  private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private def parseBbox(attrs: Map[String, String]): Option[Bbox] =
     attrs.get("data-bbox").flatMap { v =>
       val parts = v.split(",")
@@ -365,8 +382,18 @@ object HtmlExtract {
           // item keeps its pre-boiler label and Body layer
           items += DocItem(nextIdx(), ItemKind.Text, block.label, ContentLayer.Body,
             pageNo, block.bbox, raw, None)
+          // word count without the split allocation: raw is collapseWs'd
+          // (single spaces), so words = runs of non-space chars
+          var words = 0
+          var inWord = false
+          var wi = 0
+          while (wi < raw.length) {
+            if (raw.charAt(wi) == ' ') inWord = false
+            else if (!inWord) { words += 1; inWord = true }
+            wi += 1
+          }
           metas += BlockMeta(linkDensity, chars, structural = block.furniture,
-            words = raw.split(" ").count(_.nonEmpty))
+            words = words)
         }
       }
       block = null
@@ -470,7 +497,9 @@ object HtmlExtract {
       while (p < gt && !src.charAt(p).isWhitespace && src.charAt(p) != '/') p += 1
       val name = src.substring(nameStart, p).toLowerCase
       if (name.isEmpty) return
-      val attrs = if (!closing && p < gt) parseAttrs(src, p, gt) else Map.empty[String, String]
+      // lazy: inline tags (the common case) never pay attribute parsing
+      lazy val attrs: Map[String, String] =
+        if (!closing && p < gt) parseAttrs(src, p, gt) else Map.empty[String, String]
 
       if (!closing && RawTextTags.contains(name)) { rawTextUntil = name; return }
 
@@ -533,7 +562,7 @@ object HtmlExtract {
           }
         case "div" =>
           flushBlock()
-          if (!closing && attrs.get("class").exists(_.split("\\s+").contains("page"))) {
+          if (!closing && attrs.get("class").exists(hasClassToken(_, "page"))) {
             if (sawPageDiv) { pageNo += 1; pageRecorded = false }
             sawPageDiv = true
             pageHeight = attrs.get("data-page-height").flatMap(_.toDoubleOption).getOrElse(0.0)

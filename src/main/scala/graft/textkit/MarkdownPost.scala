@@ -164,17 +164,34 @@ object MarkdownPost {
   private def headingMatch(s: String): Option[java.util.regex.Matcher] =
     if (s.isEmpty || s.charAt(0) != '#') None else matchAt(HeadingPattern, s)
 
-  /** export_utils.py:169-182 */
+  /** export_utils.py:169-182 — one allocation-free scan (round 6): newline,
+    * token count (Py.split semantics), letter and uppercase counts all come
+    * from a single pass; the checks themselves are unchanged. */
   def isKpiLabel(text: String): Boolean = {
     val stripped = text.strip()
-    if (stripped.isEmpty || stripped.contains("\n")) return false
+    if (stripped.isEmpty) return false
+    var i = 0
+    var tokens = 0
+    var inTok = false
+    var letters = 0
+    var upper = 0
+    while (i < stripped.length) {
+      val c = stripped.charAt(i)
+      if (c == '\n') return false
+      if (Py.isSplitWs(c)) inTok = false
+      else {
+        if (!inTok) { tokens += 1; inTok = true }
+        if (Character.isLetter(c)) {
+          letters += 1
+          if (Character.isUpperCase(c)) upper += 1
+        }
+      }
+      i += 1
+    }
     if (stripped.charAt(0) == '#' && lookingAt(HeadingPattern, stripped)) return false
-    val words = split(stripped)
-    if (words.length > 5) return false
-    val letters = stripped.filter(Character.isLetter)
-    if (letters.isEmpty) return false
-    val upper = letters.count(Character.isUpperCase)
-    upper.toDouble / letters.length >= 0.7
+    if (tokens > 5) return false
+    if (letters == 0) return false
+    upper.toDouble / letters >= 0.7
   }
 
   /** export_utils.py:185-195 */

@@ -24,7 +24,7 @@ object Py {
 
   // ASCII \s of the former `s.split("\\s+")` (String.split compiled the
   // pattern per call — a measured hot spot in the cell-clean chain)
-  private def isSplitWs(c: Char): Boolean =
+  private[textkit] def isSplitWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Python str.split() with no argument. Hand-rolled scanner — identical
