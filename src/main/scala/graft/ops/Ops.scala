@@ -709,8 +709,14 @@ object Ops {
         "transform(sequence(0, cast(ceil(size(w)/12.0) as int)-1)," +
           " i -> concat_ws(' ', slice(w, i*12+1, 12)))")).as("para"))
       .select($"doc_id", polyhash($"para").as("h"))
-    val freq = paras.groupBy($"h").agg(count(lit(1)).as("n_occ"))
-    paras.join(freq, "h")
+    // round 6: occurrence counts via a whole-partition window over ONE
+    // exchange on h. The former freq groupBy + join-back ran the scan +
+    // explode + hash subtree TWICE (the partial aggregate below the freq
+    // exchange makes the two join sides non-identical, so exchange reuse
+    // never fires) and shuffled the paragraph relation twice; identical
+    // counts, half the scans and exchanges (guide §2.4).
+    paras
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy($"h")))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_paras"),
         sum(when($"n_occ" > 1, 1).otherwise(0)).as("n_dup_paras"))
