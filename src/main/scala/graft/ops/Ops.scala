@@ -754,17 +754,21 @@ object Ops {
     * join over the collapsed relation, O(log n) component rounds, one
     * broadcast-friendly join back. No pair join ever sees the raw corpus. */
   def dedupChain(docs: DataFrame, maxBucketSize: Int = 512): DataFrame = {
-    val exact = docs
-      .groupBy(polyhash($"text").as("th"))
-      .agg(min($"doc_id").as("rep_id"))
-    val docToRep = docs
-      .select($"doc_id", polyhash($"text").as("th"))
-      .join(exact, "th")
-      .select($"doc_id", $"rep_id")
+    // round 6: exact classes via ONE exchange — min(doc_id) over a window
+    // partitioned by the text hash replaces the round-5 agg + join-back
+    // (which scanned and hashed the corpus twice; the partial aggregate
+    // below the agg's exchange blocks exchange reuse) and the separate
+    // reps join (a third scan). The cached relation keeps text only on
+    // representative rows, so cache size scales with the COLLAPSED class
+    // count, not the corpus.
+    val base = docs
+      .select($"doc_id", $"text", polyhash($"text").as("th"))
+      .withColumn("rep_id", min($"doc_id").over(Window.partitionBy($"th")))
+      .select($"doc_id", $"rep_id",
+        when($"doc_id" === $"rep_id", $"text").as("text"))
       .cache()
-    val reps = docs.join(docToRep.filter($"doc_id" === $"rep_id")
-        .select($"doc_id"), "doc_id")
-      .select($"doc_id", $"text")
+    val docToRep = base.select($"doc_id", $"rep_id")
+    val reps = base.filter($"doc_id" === $"rep_id").select($"doc_id", $"text")
     val pairs = minhashLshPairsOf(reps, maxBucketSize)
     val (labels, _) = connectedComponents(reps.select($"doc_id"), pairs.toDF("src", "dst"))
     // component label -> min member id = the canonical doc
@@ -775,7 +779,7 @@ object Ops {
       .select($"doc_id".as("rep_id"), $"canonical_id")
     val out = docToRep.join(repToCanon, "rep_id")
       .select($"doc_id", $"canonical_id")
-    materializeAndRelease(out, docToRep)
+    materializeAndRelease(out, base)
   }
 
   /** Char-trigram language ID (the n-gram heuristic of the LLM-pipeline
