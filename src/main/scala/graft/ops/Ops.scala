@@ -1065,7 +1065,9 @@ object Ops {
     * to themselves). Delegates to [[connectedComponents]] — pointer-doubling
     * min-label propagation, O(log diameter) rounds, one Spark job per round. */
   def q47NeardupComponents(s: SparkSession, dir: String, maxIters: Int = 64): DataFrame = {
-    val pairs = q18MinhashLshPairs(s, dir).select(col("id_a"), col("id_b"))
+    // round 6: the pair SET feeds the propagation — q18's declared output
+    // sort (a full range exchange) was paid for nothing here
+    val pairs = minhashLshPairsOf(documents(s, dir)).select(col("id_a"), col("id_b"))
     val nodes = documents(s, dir).select(col("doc_id"))
     connectedComponents(nodes, pairs.toDF("src", "dst"), maxIters)._1
       .orderBy(col("doc_id"))
