@@ -965,18 +965,22 @@ object Ops {
       .orderBy($"doc_id")
 
   private def q51Impl(s: SparkSession, dir: String): DataFrame = {
-    val toks = documents(s, dir)
+    // round 6: the per-doc word stats are row-local scalars — ride them
+    // through the trigram aggregation (first() per group; constant within
+    // a doc) instead of a second corpus scan joined back on doc_id
+    val tri = documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
-    val words = toks.select($"doc_id",
-      size($"w").as("n_words"), size(array_distinct($"w")).as("distinct_words"))
-    val tri = toks
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
-      .groupBy($"doc_id", $"ng").agg(count(lit(1)).as("c"))
+      .select($"doc_id",
+        size($"w").as("nw"), size(array_distinct($"w")).as("dw"),
+        explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("ng"))
+      .groupBy($"doc_id", $"ng")
+      .agg(count(lit(1)).as("c"), first($"nw").as("nw"), first($"dw").as("dw"))
       .groupBy($"doc_id")
-      .agg(max($"c").as("top_trigram_n"), sum($"c").as("trigram_total"))
-    words.join(tri, "doc_id")
+      .agg(max($"c").as("top_trigram_n"), sum($"c").as("trigram_total"),
+        first($"nw").as("n_words"), first($"dw").as("distinct_words"))
+    tri
       .select($"doc_id", $"n_words", $"distinct_words",
         round(lit(1.0) - $"distinct_words".cast("double") / $"n_words", 6)
           .as("dup_word_ratio"),
