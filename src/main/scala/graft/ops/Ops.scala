@@ -503,18 +503,20 @@ object Ops {
       val dot = graft.functions.VecMath.dotProduct(col("v"), typedLit(plane))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // cached: both self-join sides read the signed projection — one pruned
-    // scan + one plane-fold pass instead of two
-    val bucketed = v.withColumn("bucket", sigCols).cache()
+    // round 6: no cache, no release-checkpoint — the projection is now a
+    // cheap codegen'd plane fold, so at scale the self-join's exchange is
+    // reused (computed once) and at small SF the broadcast side recomputes
+    // the cheap map; measured faster than cache+checkpoint both ways
+    // (tools/Q23Ab)
+    val bucketed = v.withColumn("bucket", sigCols)
     val pairs = bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("neighbor_id"),
         round(dotCol / (col("x.nrm") * col("y.nrm")), 4).as("sim"))
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"neighbor_id".asc)
-    val out = pairs.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy($"vec_id", $"rank")
-    materializeAndRelease(out, bucketed)
   }
 
   /** Embedding label stats (centroid norms per label). */
