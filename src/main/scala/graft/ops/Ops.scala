@@ -646,11 +646,15 @@ object Ops {
       // the path is now exchange-free up to the top-k window, so downstream
       // parallelism = this relation's partition count; a small embeddings
       // file scans as ONE partition and would serialize the 100x-larger pair
-      // join behind it. Spread the slim rows across the cores before caching
+      // join behind it. Spread the slim rows across the cores
       // (explicit count: REPARTITION_BY_NUM is exempt from AQE coalescing,
       // which would fold a small corpus straight back to one partition).
+      // Round 6: no cache, no release-checkpoint — both join sides sit on
+      // this SAME repartition exchange, so ReusedExchange computes the
+      // ranked relation once either way, and dropping the cache removes the
+      // fill job and the eager checkpoint that released it (tools/Q27Ab:
+      // lazy 0.62-0.69 s vs cached 0.93-1.28 s at sf0.1).
       .repartition(vecs.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-      .cache()
     val assigned = ranked.select(col("vec_id"), col("cell"), col("v"), col("nrm"))
     // the probe side carries its own query vector — ONE candidate join total
     // (a separate probes->qside join would just re-shuffle the same bytes)
@@ -662,13 +666,12 @@ object Ops {
         round(graft.functions.VecMath.dotProduct(col("qv"), col("v")) /
           (col("qnrm") * col("nrm")), 4).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    val out = pairs.withColumn("rank", row_number().over(w))
+    // no dedup needed: each candidate lives in exactly one cell, so a query's
+    // nprobe distinct probe cells can each contribute it at most once total
+    pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id").as("vec_id"), col("neighbor_id"), col("sim"), col("rank"))
       .orderBy(col("vec_id"), col("rank"))
-    // no dedup needed: each candidate lives in exactly one cell, so a query's
-    // nprobe distinct probe cells can each contribute it at most once total
-    materializeAndRelease(out, ranked)
   }
 
   /** Production IVF training: deterministic k-means (seeded init, fixed Lloyd
