@@ -84,6 +84,33 @@ object Q25Stages {
       out.count(): Unit
     }
     time("H eager-kept, lazy tail")(variantH())
+
+    // I: no cache at all — both tail branches re-reference the aggregate;
+    // the agg's exchange is reused, only the final-merge step runs twice
+    def variantI(): Unit = {
+      val kept = aggOf(rawNg)
+      val sizes = kept.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_ng"))
+      val inter = kept
+        .filter(size(col("ids")) >= 2)
+        .select(sort_array(col("ids")).as("ids"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(ids)-2), " +
+            "i -> transform(sequence(i+1, size(ids)-1), " +
+            "j -> named_struct('id_a', ids[i], 'id_b', ids[j]))))")).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val out = inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_ng", "n_b"), "id_b")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.08)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+      out.count(): Unit
+    }
+    time("I no cache, reuse exchange")(variantI())
     spark.stop()
   }
 }
