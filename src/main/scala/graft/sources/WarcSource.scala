@@ -101,13 +101,21 @@ object WarcSource {
   def parseRecordsStream(raw: java.io.InputStream): Iterator[WarcRecord] = {
     val MaxHeaderBytes = 4 << 20
     val bis = new java.io.BufferedInputStream(raw, 1 << 16)
-    bis.mark(1 << 16)
+    // mark limit > the GZIP constructor's largest possible single buffered
+    // read (1 << 16), so the raw fallback's reset stays valid
+    bis.mark(1 << 17)
     val b0 = bis.read(); val b1 = bis.read()
     bis.reset()
     val in: java.io.InputStream =
       if (b0 == 0x1F && b1 == 0x8B)
         try new java.util.zip.GZIPInputStream(bis, 1 << 16)
-        catch { case _: Exception => bis.reset(); bis } // mirror the raw fallback
+        catch {
+          case _: Exception => // mirror the raw fallback; degrade if unresettable
+            try { bis.reset(); bis }
+            catch { case _: Exception =>
+              new java.io.ByteArrayInputStream(Array.emptyByteArray)
+            }
+        }
       else bis
     val marker = Array[Byte]('W', 'A', 'R', 'C', '/')
 

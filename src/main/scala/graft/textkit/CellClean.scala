@@ -189,9 +189,11 @@ object CellClean {
   def compactNumberSpacing(text: String): String = {
     if (!isNumericish(text)) return text
     // every sub needs a \s and strip only removes edge whitespace: a
-    // whitespace-free string is unchanged (isWhitespace || isSpaceChar is a
-    // superset of both the regexes' \s and String.strip's set)
-    if (!text.exists(c => Character.isWhitespace(c) || Character.isSpaceChar(c)))
+    // whitespace-free string is unchanged. isWhitespace || isSpaceChar
+    // covers the Unicode White_Space set the regexes' \s uses EXCEPT
+    // U+0085 (NEL, category Cc) — include it explicitly
+    if (!text.exists(c => Character.isWhitespace(c) || Character.isSpaceChar(c) ||
+        c == '\u0085'))
       return text
     var compacted = sub(DigitSpDigit, "", text)
     compacted = sub(DigitSpPunct, "", compacted)
